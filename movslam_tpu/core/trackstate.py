@@ -1,0 +1,74 @@
+"""Fixed-capacity track state (SoA pytree) — device-side feature tracks.
+
+The reference's per-frame std::vector<VideoFeature> + trackId->index map
+(/root/reference/include/Frame.h:79-107, 322-324) becomes a padded
+structure-of-arrays pytree: every jitted program sees static shapes; validity
+is a mask. trackId remains the global join key for all matching.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+MAX_TRACKS = 2048  # > 39*29 = 1131 dense-grid blocks at 640x480
+
+
+@struct.dataclass
+class TrackState:
+    """One frame's feature tracks.
+
+    pt       : (N, 2) f32 pixel positions (x, y).
+    track_id : (N,) i32 global persistent track ids (-1 when invalid).
+    age      : (N,) i32 frames tracked so far.
+    desc     : (N, 8) u32 packed 256-bit EXPRESS descriptors.
+    mb_wh    : (N, 2) f32 macroblock size (usually 16x16).
+    coverage : (N,) bool — feature created by the low-coverage fallback; it is
+               LK-tracked instead of MV-propagated (MOVExtractor.cc:258-261).
+    valid    : (N,) bool.
+    next_id  : () i32 — the extractor's monotonically increasing id counter
+               (MOVExtractor.h mCurrentId).
+    """
+
+    pt: jnp.ndarray
+    track_id: jnp.ndarray
+    age: jnp.ndarray
+    desc: jnp.ndarray
+    mb_wh: jnp.ndarray
+    coverage: jnp.ndarray
+    valid: jnp.ndarray
+    next_id: jnp.ndarray
+
+    @property
+    def capacity(self):
+        return self.pt.shape[0]
+
+    @property
+    def count(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+    @staticmethod
+    def empty(capacity=MAX_TRACKS, next_id=0):
+        return TrackState(
+            pt=jnp.zeros((capacity, 2), jnp.float32),
+            track_id=jnp.full((capacity,), -1, jnp.int32),
+            age=jnp.zeros((capacity,), jnp.int32),
+            desc=jnp.zeros((capacity, 8), jnp.uint32),
+            mb_wh=jnp.full((capacity, 2), 16.0, jnp.float32),
+            coverage=jnp.zeros((capacity,), jnp.bool_),
+            valid=jnp.zeros((capacity,), jnp.bool_),
+            next_id=jnp.asarray(next_id, jnp.int32),
+        )
+
+    def to_numpy(self):
+        """Host view with invalid entries dropped (for orchestration/tests)."""
+        v = np.asarray(self.valid)
+        return {
+            "pt": np.asarray(self.pt)[v],
+            "track_id": np.asarray(self.track_id)[v],
+            "age": np.asarray(self.age)[v],
+            "desc": np.asarray(self.desc)[v],
+            "coverage": np.asarray(self.coverage)[v],
+            "next_id": int(self.next_id),
+        }

@@ -18,6 +18,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+import jax
+
+# Persistent compilation cache: the big jitted pipeline programs compile once
+# across test runs instead of every session.
+jax.config.update("jax_compilation_cache_dir", "/tmp/movslam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():
