@@ -1,0 +1,187 @@
+"""Batched RANSAC PnP + robust Gauss-Newton refinement (JAX, TPU-first).
+
+Replaces cv::solvePnPRansac in the reference's pose optimization
+(/root/reference/src/Optimizer.cc:397-459): instead of sequential RANSAC with
+early exit, a fixed block of hypotheses is evaluated in parallel — each lane
+solves a 6-point DLT (12x12 eigendecomposition on the MXU-friendly batch),
+all lanes score all correspondences at once, and the best hypothesis is
+polished with Huber-weighted Gauss-Newton on its inliers. Fixed iteration
+counts replace data-dependent exits (XLA-compatible, deterministic).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lie import project_to_so3, se3_exp, se3_compose, hat
+
+N_HYP = 256  # RANSAC hypothesis lanes
+SAMPLE = 6  # DLT minimal-ish sample size
+GN_ITERS = 10
+
+
+def _dlt_pose(pw, rays):
+    """6+ point DLT for [R|t] from world points & normalized image coords.
+
+    pw: (S, 3) world points; rays: (S, 2) normalized coords (x/z, y/z).
+    Returns (R (3,3), t (3,)). Solution is projected to SO(3) with
+    cheirality-consistent sign."""
+    S = pw.shape[0]
+    X = jnp.concatenate([pw, jnp.ones((S, 1))], axis=1)  # (S, 4)
+    zero = jnp.zeros((S, 4))
+    u = rays[:, 0:1]
+    v = rays[:, 1:2]
+    # Rows: [X 0 -u*X ; 0 X -v*X] for P = [p1;p2;p3]
+    r1 = jnp.concatenate([X, zero, -u * X], axis=1)  # (S, 12)
+    r2 = jnp.concatenate([zero, X, -v * X], axis=1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2S, 12)
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    p = vecs[:, 0]
+    P = p.reshape(3, 4)
+    M = P[:, :3]
+    # Fix scale and sign so that depths are mostly positive.
+    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(M)) + 1e-12)
+    sign = jnp.sign(jnp.sum(pw @ M[2].T + P[2, 3]))  # mean depth sign
+    sign = jnp.where(sign == 0, 1.0, sign)
+    Pn = P * (sign / scale)
+    R = project_to_so3(Pn[:, :3])
+    t = Pn[:, 3]
+    return R, t
+
+
+def _reproj_err2(R, t, pw, uv, fx, fy, cx, cy):
+    """Squared pixel reprojection error (broadcast over leading dims)."""
+    pc = jnp.einsum("...ij,nj->...ni", R, pw) + t[..., None, :]
+    z = jnp.maximum(pc[..., 2], 1e-6)
+    u = fx * pc[..., 0] / z + cx
+    v = fy * pc[..., 1] / z + cy
+    du = u - uv[..., :, 0]
+    dv = v - uv[..., :, 1]
+    err2 = du * du + dv * dv
+    behind = pc[..., 2] <= 0
+    return jnp.where(behind, 1e12, err2)
+
+
+def _gn_refine(R0, t0, pw, uv, weight_mask, fx, fy, cx, cy, huber_delta, iters=GN_ITERS):
+    """Huber-weighted Gauss-Newton pose polish on weighted correspondences."""
+
+    def body(_, Rt):
+        R, t = Rt
+        pc = pw @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        iz = 1.0 / z
+        u = fx * pc[:, 0] * iz + cx
+        v = fy * pc[:, 1] * iz + cy
+        r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=-1)  # (N, 2)
+
+        rn = jnp.linalg.norm(r, axis=-1)
+        w = weight_mask * jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9))
+
+        # d(pixel)/d(pc): (N, 2, 3)
+        x, y = pc[:, 0], pc[:, 1]
+        J_pc = jnp.stack(
+            [
+                jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz * iz], -1),
+                jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz * iz], -1),
+            ],
+            axis=1,
+        )
+        # d(pc)/d(xi) with left-multiplied increment: [I | -hat(pc)]
+        J_xi = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)), -hat(pc)], axis=-1
+        )  # (N, 3, 6)
+        J = jnp.einsum("nij,njk->nik", J_pc, J_xi)  # (N, 2, 6)
+
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nij,nik->jk", Jw, J) + 1e-6 * jnp.eye(6)
+        g = jnp.einsum("nij,ni->j", Jw, r)
+        delta = -jnp.linalg.solve(H, g)
+        dR, dt = se3_exp(delta)
+        return se3_compose(dR, dt, R, t)
+
+    return jax.lax.fori_loop(0, iters, body, (R0, t0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_hyp", "gn_iters")
+)
+def pnp_ransac(
+    pw,
+    uv,
+    valid,
+    fx,
+    fy,
+    cx,
+    cy,
+    key,
+    reproj_err,
+    R_init,
+    t_init,
+    n_hyp=N_HYP,
+    gn_iters=GN_ITERS,
+):
+    """Robust PnP.
+
+    pw: (N, 3) world points; uv: (N, 2) pixels; valid: (N,) bool.
+    key: jax PRNG key. reproj_err: inlier threshold in pixels.
+    R_init/t_init: prior pose — added as an extra hypothesis lane (the
+    motion-model prior usually wins when tracking is healthy, which both
+    speeds convergence and stabilizes the estimate vs pure RANSAC).
+
+    Returns dict(R, t, inliers (N,) bool, n_inliers i32, ok bool).
+    """
+    N = pw.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    # --- hypothesis generation ------------------------------------------
+    # Sample indices proportional to validity via Gumbel top-k per lane.
+    g = jax.random.gumbel(key, (n_hyp, N))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, samp_idx = jax.lax.top_k(g, SAMPLE)  # (n_hyp, SAMPLE)
+
+    rays = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
+    pw_s = pw[samp_idx]  # (n_hyp, S, 3)
+    ray_s = rays[samp_idx]
+    Rh, th = jax.vmap(_dlt_pose)(pw_s, ray_s)  # (n_hyp, 3, 3), (n_hyp, 3)
+
+    # Prior pose as one extra lane.
+    Rh = jnp.concatenate([Rh, R_init[None]], axis=0)
+    th = jnp.concatenate([th, t_init[None]], axis=0)
+
+    # --- scoring ---------------------------------------------------------
+    err2 = _reproj_err2(Rh, th, pw, uv, fx, fy, cx, cy)  # (n_hyp+1, N)
+    thr2 = reproj_err * reproj_err
+    inl = (err2 < thr2) & valid[None, :]
+    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
+    best = jnp.argmax(counts)
+    R_best, t_best = Rh[best], th[best]
+    inliers0 = inl[best]
+
+    # --- refinement ------------------------------------------------------
+    w_mask = inliers0.astype(jnp.float32)
+    R_ref, t_ref = _gn_refine(
+        R_best, t_best, pw, uv, w_mask, fx, fy, cx, cy,
+        huber_delta=jnp.sqrt(thr2), iters=gn_iters,
+    )
+    err2_ref = _reproj_err2(R_ref, t_ref, pw, uv, fx, fy, cx, cy)
+    inliers = (err2_ref < thr2) & valid
+    n_in = jnp.sum(inliers.astype(jnp.int32))
+
+    # Keep whichever of (refined, best-hypothesis) scores more inliers.
+    take_ref = n_in >= counts[best]
+    R_out = jnp.where(take_ref, R_ref, R_best)
+    t_out = jnp.where(take_ref, t_ref, t_best)
+    inl_out = jnp.where(take_ref, inliers, inliers0)
+    n_out = jnp.where(take_ref, n_in, counts[best])
+
+    ok = (n_valid >= 4) & (n_out >= 4)
+    return {
+        "R": R_out,
+        "t": t_out,
+        "inliers": inl_out & ok,
+        "n_inliers": jnp.where(ok, n_out, 0),
+        "ok": ok,
+    }
