@@ -1,0 +1,267 @@
+"""Batched Levenberg-Marquardt bundle adjustment with explicit Schur
+complement (JAX, TPU-first).
+
+Replaces the reference's g2o pipeline (LM + LinearSolverCSparse
+BlockSolver_6_3, /root/reference/src/Optimizer.cc:461-841): at local-BA scale
+(tens of keyframes, thousands of points) a *dense* reduced camera system
+factorized on the MXU beats sparse CSparse kernels — the landmark blocks are
+marginalized in closed form (batched 3x3 inverses), the keyframe-pair
+couplings are accumulated with segment-sums, and the 6Kx6K Schur system is
+one Cholesky solve.
+
+Structure:
+  - poses: (K, 3, 3) + (K, 3) camera-from-world, opt/fixed masks.
+  - points: (P, 3) world positions, validity mask.
+  - observations: flat (O,) arrays (kf index, point index, pixel), padded.
+  - obs_by_point: (P, MOPP) observation indices per point (padded with O,
+    which addresses an all-zero dummy observation slot).
+
+Robustness matches g2o's Huber kernel with delta^2 = 5 px^2
+(Optimizer.cc:616-617) and fixed 10 LM iterations (Optimizer.cc:754-755);
+acceptance/damping is branchless (jnp.where), so the program is one XLA
+graph.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lie import hat, se3_compose, se3_exp
+
+HUBER2 = 5.0  # chi2 kernel threshold (g2o delta^2)
+LM_ITERS = 10
+
+
+def _residual_jacobians(kf_R, kf_t, mp_pos, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy):
+    """Per-observation residuals + Jacobians.
+
+    Returns r (O,2), Jp (O,2,6) pose-Jacobian, Jl (O,2,3) point-Jacobian,
+    w (O,) robust weights (Huber x validity), chi2 (O,), z (O,) depths."""
+    R = kf_R[obs_kf]  # (O, 3, 3)
+    t = kf_t[obs_kf]
+    X = mp_pos[obs_mp]
+    pc = jnp.einsum("oij,oj->oi", R, X) + t
+    z = pc[:, 2]
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    u = fx * pc[:, 0] * iz + cx
+    v = fy * pc[:, 1] * iz + cy
+    r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], axis=-1)
+
+    chi2 = jnp.sum(r * r, axis=-1)
+    # Huber: w = 1 if chi2 <= delta2 else delta/sqrt(chi2)
+    hub = jnp.where(
+        chi2 <= HUBER2, 1.0, jnp.sqrt(HUBER2 / jnp.maximum(chi2, 1e-12))
+    )
+    w = obs_w * hub * (z > 0)
+
+    x, y = pc[:, 0], pc[:, 1]
+    zeros = jnp.zeros_like(iz)
+    J_pc = jnp.stack(
+        [
+            jnp.stack([fx * iz, zeros, -fx * x * iz * iz], -1),
+            jnp.stack([zeros, fy * iz, -fy * y * iz * iz], -1),
+        ],
+        axis=1,
+    )  # (O, 2, 3)
+    # Left-multiplicative pose increment: d(pc)/dxi = [I | -hat(pc)]
+    J_xi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)), -hat(pc)], axis=-1
+    )
+    Jp = jnp.einsum("oij,ojk->oik", J_pc, J_xi)  # (O, 2, 6)
+    Jl = jnp.einsum("oij,ojk->oik", J_pc, R)  # (O, 2, 3): d(pc)/dX = R
+    return r, Jp, Jl, w, chi2, z
+
+
+def _total_cost(chi2, w_valid):
+    """Huber-robustified total cost (what LM must decrease)."""
+    rho = jnp.where(
+        chi2 <= HUBER2, chi2, 2.0 * jnp.sqrt(HUBER2 * jnp.maximum(chi2, 0.0)) - HUBER2
+    )
+    return jnp.sum(rho * w_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ba_solve(
+    kf_R,
+    kf_t,
+    kf_fixed,
+    kf_valid,
+    mp_pos,
+    mp_valid,
+    obs_kf,
+    obs_mp,
+    obs_uv,
+    obs_valid,
+    obs_by_point,
+    fx,
+    fy,
+    cx,
+    cy,
+    iters=LM_ITERS,
+):
+    """Run LM bundle adjustment. Shapes:
+
+    kf_*: (K, ...); mp_pos: (P, 3); obs_*: (O,); obs_by_point: (P, MOPP)
+    holding observation indices (pad value O).
+
+    Observations of invalid/fixed structure are masked via obs_valid; fixed
+    keyframes contribute residuals but receive no update (g2o setFixed).
+
+    Returns dict(kf_R, kf_t, mp_pos, chi2 (O,), depth (O,), cost)."""
+    K = kf_R.shape[0]
+    P = mp_pos.shape[0]
+    O = obs_kf.shape[0]
+    MOPP = obs_by_point.shape[1]
+
+    free = kf_valid & ~kf_fixed  # (K,)
+    obs_w = obs_valid.astype(jnp.float32) * mp_valid[obs_mp] * kf_valid[obs_kf]
+
+    eye6 = jnp.eye(6)
+    eye3 = jnp.eye(3)
+
+    def linearize(R, t, X):
+        r, Jp, Jl, w, chi2, z = _residual_jacobians(
+            R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy
+        )
+        # Zero the pose-Jacobian of fixed keyframes (they still constrain
+        # points through Jl).
+        Jp = Jp * free[obs_kf][:, None, None]
+
+        Jpw = Jp * w[:, None, None]
+        Jlw = Jl * w[:, None, None]
+
+        # Block gradients and diagonals.
+        g_p = -jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", Jpw, r), obs_kf, num_segments=K
+        )  # (K, 6)
+        g_l = -jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", Jlw, r), obs_mp, num_segments=P
+        )  # (P, 3)
+        Hpp = jax.ops.segment_sum(
+            jnp.einsum("oij,oik->ojk", Jpw, Jp), obs_kf, num_segments=K
+        )  # (K, 6, 6)
+        Hll = jax.ops.segment_sum(
+            jnp.einsum("oij,oik->ojk", Jlw, Jl), obs_mp, num_segments=P
+        )  # (P, 3, 3)
+        W = jnp.einsum("oij,oik->ojk", Jpw, Jl)  # (O, 6, 3) cross blocks
+
+        cost = _total_cost(chi2, obs_w)
+        return r, W, g_p, g_l, Hpp, Hll, cost, chi2, z
+
+    def solve(R, t, X, lam):
+        _, W, g_p, g_l, Hpp, Hll, cost0, _, _ = linearize(R, t, X)
+
+        Hll_d = Hll + lam * eye3[None] + 1e-8 * eye3[None]
+        Hll_inv = jnp.linalg.inv(Hll_d)  # (P, 3, 3) batched closed form
+
+        # Schur RHS: g_p - sum_o W_o Hll_inv_{p(o)} g_l_{p(o)}
+        Hinv_gl = jnp.einsum("pij,pj->pi", Hll_inv, g_l)  # (P, 3)
+        rhs = g_p - jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", W, Hinv_gl[obs_mp]), obs_kf, num_segments=K
+        )
+
+        # Schur LHS: Hpp + lam I - sum_p sum_{a,b in obs(p)} W_a Hinv_p W_b^T
+        # Pad observations: index O addresses zero blocks.
+        W_pad = jnp.concatenate([W, jnp.zeros((1, 6, 3))], axis=0)
+        kf_pad = jnp.concatenate([obs_kf, jnp.zeros((1,), obs_kf.dtype)], axis=0)
+        Wp = W_pad[obs_by_point]  # (P, MOPP, 6, 3)
+        kfp = kf_pad[obs_by_point]  # (P, MOPP)
+        pad_mask = (obs_by_point < O).astype(jnp.float32)  # (P, MOPP)
+
+        Yp = jnp.einsum("pmij,pjk->pmik", Wp, Hll_inv)  # (P, MOPP, 6, 3)
+
+        S = jnp.zeros((K * K, 6, 6))
+        Hpp_d = Hpp + lam * eye6[None]
+        S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
+
+        def pair_body(m, S):
+            Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
+            km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
+            mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
+
+            def inner(n, S):
+                Wn = jax.lax.dynamic_index_in_dim(Wp, n, axis=1, keepdims=False)
+                kn = jax.lax.dynamic_index_in_dim(kfp, n, axis=1, keepdims=False)
+                mn = jax.lax.dynamic_index_in_dim(pad_mask, n, axis=1, keepdims=False)
+                blk = -jnp.einsum("pik,pjk->pij", Ym, Wn) * (mm * mn)[:, None, None]
+                return S.at[km * K + kn].add(blk)
+
+            return jax.lax.fori_loop(0, MOPP, inner, S)
+
+        S = jax.lax.fori_loop(0, MOPP, pair_body, S)
+        S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+
+        # Mask out fixed/invalid keyframes: identity rows/cols, zero rhs.
+        m = jnp.repeat(free.astype(jnp.float32), 6)
+        S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        b = rhs.reshape(-1) * m
+
+        dxi = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S + 1e-6 * jnp.eye(K * 6)), b
+        ).reshape(K, 6)
+
+        # Back-substitute landmarks: dX = Hinv (g_l - sum W^T dxi)
+        Wt_dxi = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", W, dxi[obs_kf]), obs_mp, num_segments=P
+        )  # (P, 3)
+        dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi)
+        dX = dX * mp_valid[:, None]
+
+        # Apply updates.
+        dR, dt = se3_exp(dxi)
+        R_new, t_new = se3_compose(dR, dt, R, t)
+        R_new = jnp.where(free[:, None, None], R_new, R)
+        t_new = jnp.where(free[:, None], t_new, t)
+        X_new = X + dX
+
+        _, _, _, _, _, _, cost1, _, _ = linearize(R_new, t_new, X_new)
+        return R_new, t_new, X_new, cost0, cost1
+
+    def lm_step(carry, _):
+        R, t, X, lam = carry
+        R_new, t_new, X_new, cost0, cost1 = solve(R, t, X, lam)
+        accept = cost1 < cost0
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e6)
+        return (R, t, X, lam), cost1
+
+    init = (kf_R, kf_t, mp_pos, jnp.asarray(1e-4, jnp.float32))
+    (R, t, X, _), costs = jax.lax.scan(lm_step, init, None, length=iters)
+
+    # Final per-observation chi2 / depth for the host-side pruning pass
+    # (Optimizer.cc:761-818 drops chi2 > 5 or negative-depth edges).
+    r, _, _, _, chi2, z = _residual_jacobians(
+        R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy
+    )
+    cost = _total_cost(chi2, obs_w)
+    return {
+        "kf_R": R,
+        "kf_t": t,
+        "mp_pos": X,
+        "chi2": chi2,
+        "depth": z,
+        "cost": cost,
+        "costs": costs,
+    }
+
+
+def build_obs_by_point(obs_mp, n_points, mopp, n_obs):
+    """Host helper: (P, MOPP) observation indices per point, padded with n_obs.
+
+    obs_mp: numpy (O,) point index per observation (invalid rows may point
+    anywhere but must be masked by obs_valid upstream)."""
+    import numpy as np
+
+    out = np.full((n_points, mopp), n_obs, np.int32)
+    fill = np.zeros(n_points, np.int32)
+    for o, p in enumerate(obs_mp):
+        p = int(p)
+        if 0 <= p < n_points and fill[p] < mopp:
+            out[p, fill[p]] = o
+            fill[p] += 1
+    return out
