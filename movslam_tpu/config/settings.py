@@ -1,0 +1,154 @@
+"""Settings: typed YAML reader matching the reference schema.
+
+Parses the exact same config files as the reference
+(/root/reference/src/Settings.cc:149-199; examples
+Examples/Monocular/TartanAir.yaml) — OpenCV FileStorage YAML with a
+`File.version: "1.0"` gate, Camera/Stereo/MOVExtractor/Optimizer/Viewer/System
+sections, and required/optional semantics (missing required keys raise).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import yaml
+
+from ..core.camera import Pinhole
+
+MONOCULAR = 0
+STEREO = 1
+
+
+class SettingsError(RuntimeError):
+    pass
+
+
+def _load_opencv_yaml(path):
+    """OpenCV FileStorage YAML: strip the %YAML:1.0 directive pyyaml rejects."""
+    with open(path) as f:
+        text = f.read()
+    lines = [l for l in text.splitlines() if not l.startswith("%YAML")]
+    data = yaml.safe_load("\n".join(lines))
+    if not isinstance(data, dict):
+        raise SettingsError(f"empty or malformed settings file: {path}")
+    return data
+
+
+@dataclasses.dataclass
+class Settings:
+    # camera
+    camera_type: str = "PinHole"
+    camera1: Pinhole | None = None
+    camera2: Pinhole | None = None
+    width: int = 640
+    height: int = 480
+    new_width: int = 640
+    new_height: int = 480
+    fps: float = 30.0
+    rgb: bool = True
+    # stereo
+    b: float = 0.0  # baseline (m)
+    bf: float = 0.0  # baseline * fx
+    th_depth: float = 35.0
+    # MOV extractor
+    threshold: int = 25
+    coverage_threshold: float = 0.2
+    relocalization_distance: float = 0.25
+    # optimizer (PnP)
+    iteration_count: int = 50
+    reprojection_error: float = 5.0
+    reprojection_error_lost: float = 8.0
+    confidence: float = 0.95
+    algorithm: int = 38  # cv::USAC_MAGSAC in the reference; informational here
+    # system
+    th_far_points: float = 0.0
+    load_atlas: str | None = None
+    save_atlas: str | None = None
+    # viewer
+    viewer: dict = dataclasses.field(default_factory=dict)
+    sensor: int = MONOCULAR
+
+    @staticmethod
+    def from_yaml(path, sensor=MONOCULAR):
+        d = _load_opencv_yaml(path)
+
+        def req(key, cast=float):
+            if key not in d:
+                raise SettingsError(f"required parameter missing: {key}")
+            return cast(d[key])
+
+        def opt(key, default=None, cast=float):
+            return cast(d[key]) if key in d else default
+
+        version = opt("File.version", None, str)
+        if version != "1.0":
+            raise SettingsError(
+                f"settings file must declare File.version '1.0', got {version!r}"
+            )
+
+        s = Settings(sensor=sensor)
+        s.camera_type = req("Camera.type", str)
+        if s.camera_type not in ("PinHole", "Rectified"):
+            # KannalaBrandt appears in the reference enum but is unhandled
+            # there too (Settings.cc:209-271).
+            raise SettingsError(f"unsupported camera model: {s.camera_type}")
+
+        s.width = int(req("Camera.width"))
+        s.height = int(req("Camera.height"))
+        s.new_width = int(opt("Camera.newWidth", s.width))
+        s.new_height = int(opt("Camera.newHeight", s.height))
+        s.fps = req("Camera.fps")
+        s.rgb = bool(int(opt("Camera.RGB", 1)))
+
+        dist = ()
+        if s.camera_type == "PinHole":
+            dist = (
+                opt("Camera1.k1", 0.0),
+                opt("Camera1.k2", 0.0),
+                opt("Camera1.p1", 0.0),
+                opt("Camera1.p2", 0.0),
+                opt("Camera1.k3", 0.0),
+            )
+        # Scale intrinsics on resize (Settings.cc:430-465 rectification map
+        # scaling, linear part only).
+        sx = s.new_width / s.width
+        sy = s.new_height / s.height
+        s.camera1 = Pinhole(
+            fx=req("Camera1.fx") * sx,
+            fy=req("Camera1.fy") * sy,
+            cx=req("Camera1.cx") * sx,
+            cy=req("Camera1.cy") * sy,
+            width=s.new_width,
+            height=s.new_height,
+            dist=dist,
+        )
+        if "Camera2.fx" in d:
+            s.camera2 = Pinhole(
+                fx=req("Camera2.fx") * sx,
+                fy=req("Camera2.fy") * sy,
+                cx=req("Camera2.cx") * sx,
+                cy=req("Camera2.cy") * sy,
+                width=s.new_width,
+                height=s.new_height,
+            )
+
+        if sensor == STEREO:
+            s.b = req("Stereo.b")
+            s.th_depth = req("Stereo.ThDepth")
+            s.bf = s.b * s.camera1.fx
+
+        s.threshold = int(req("MOVExtractor.threshold"))
+        s.coverage_threshold = req("MOVExtractor.coverageThreshold")
+        s.relocalization_distance = req("MOVExtractor.relocalizationDistance")
+
+        s.iteration_count = int(req("Optimizer.iterationCount"))
+        s.reprojection_error = req("Optimizer.reprojectionError")
+        s.reprojection_error_lost = req("Optimizer.reprojectionErrorLost")
+        s.confidence = req("Optimizer.confidence")
+        s.algorithm = int(req("Optimizer.algorithm"))
+
+        s.th_far_points = opt("System.thFarPoints", 0.0)
+        s.load_atlas = opt("System.LoadAtlasFromFile", None, str)
+        s.save_atlas = opt("System.SaveAtlasToFile", None, str)
+
+        s.viewer = {k: v for k, v in d.items() if k.startswith("Viewer.")}
+        return s

@@ -310,6 +310,9 @@ class MOVExtractor:
         self.coverage_threshold = float(coverage_threshold)
         self.relocalization_distance = float(relocalization_distance)
         self.capacity = capacity
+        # Persistent id counter (mCurrentId): survives map resets, which clear
+        # the previous frame but not the extractor (MOVExtractor.h:38).
+        self.next_id = 0
 
     def extract(self, smv: MotionVectorImage, prev_state, prev_img, reloc=None):
         """One frame of feature extraction.
@@ -325,13 +328,20 @@ class MOVExtractor:
 
         if smv.ft == FrameType.I_FRAME or prev_state is None:
             if prev_state is not None and int(jnp.sum(prev_state.valid)) > 0:
-                return _i_frame_carryover(
+                out = _i_frame_carryover(
                     img, jnp.asarray(prev_img), prev_state, capacity=self.capacity
                 )
-            next_id = prev_state.next_id if prev_state is not None else jnp.asarray(0, jnp.int32)
-            return _i_frame_coldstart(
-                img, self.threshold, next_id, capacity=self.capacity
-            )
+            else:
+                next_id = (
+                    prev_state.next_id
+                    if prev_state is not None
+                    else jnp.asarray(self.next_id, jnp.int32)
+                )
+                out = _i_frame_coldstart(
+                    img, self.threshold, next_id, capacity=self.capacity
+                )
+            self.next_id = int(out.next_id)
+            return out
 
         state = _p_frame_step(
             img,
@@ -370,6 +380,7 @@ class MOVExtractor:
                 jnp.arange(state.capacity, dtype=jnp.int32),
             )
             state = _merge_reloc(seg_reloc, seg_main, state.next_id, self.capacity)
+        self.next_id = int(state.next_id)
         return state
 
 

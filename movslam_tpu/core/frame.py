@@ -1,0 +1,69 @@
+"""Host-side Frame: the per-frame view consumed by the tracking state machine.
+
+Compacted mirror of the device TrackState plus pose / map-point association
+slots — the equivalent of the reference Frame's tracking-facing members
+(/root/reference/include/Frame.h:322-343) without the pixel-domain machinery
+(grids, pyramids), which the batched device ops make unnecessary.
+"""
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+
+
+class Frame:
+    __slots__ = (
+        "id", "timestamp", "pts", "track_ids", "desc", "ages", "R", "t",
+        "mappoints", "outlier", "image", "reference_kf", "lost", "pose_set",
+        "depth_right", "uright", "track_index",
+    )
+
+    _next_id = itertools.count()
+
+    def __init__(self, track_state=None, timestamp=0.0, image=None):
+        self.id = next(Frame._next_id)
+        self.timestamp = timestamp
+        self.image = image
+        self.R = np.eye(3)
+        self.t = np.zeros(3)
+        self.pose_set = False
+        self.reference_kf = None
+        self.lost = False
+        self.depth_right = None
+        self.uright = None
+
+        if track_state is not None:
+            d = track_state.to_numpy()
+            self.pts = d["pt"].astype(np.float64)
+            self.track_ids = d["track_id"].astype(np.int64)
+            self.desc = d["desc"]
+            self.ages = d["age"]
+        else:
+            self.pts = np.zeros((0, 2))
+            self.track_ids = np.zeros((0,), np.int64)
+            self.desc = np.zeros((0, 8), np.uint32)
+            self.ages = np.zeros((0,), np.int32)
+
+        n = len(self.track_ids)
+        self.mappoints = [None] * n
+        self.outlier = np.zeros(n, bool)
+        # trackId -> slot (first occurrence wins, like mvVFMap's map::insert)
+        self.track_index = {}
+        for i, tid in enumerate(self.track_ids):
+            self.track_index.setdefault(int(tid), i)
+
+    @property
+    def n(self):
+        return len(self.track_ids)
+
+    def set_pose(self, R, t):
+        self.R = np.asarray(R, np.float64)
+        self.t = np.asarray(t, np.float64)
+        self.pose_set = True
+
+    def center(self):
+        return -(self.R.T @ self.t)
+
+    def slot_of_track(self, track_id):
+        return self.track_index.get(int(track_id), -1)

@@ -1,0 +1,241 @@
+"""System: the public SLAM facade.
+
+Mirrors the reference's System API (/root/reference/include/System.h:96-189):
+construction from a settings YAML + sensor, TrackMonocular/TrackStereo,
+Shutdown, trajectory savers, atlas save/load, lost-frame/fps counters — with
+the three reference threads (Tracking / LocalMapping / Viewer,
+System.cc:129,153) replaced by a deterministic synchronous drive by default
+(mapper work still overlaps the host via async device dispatch) and an
+optional background mapping thread.
+"""
+from __future__ import annotations
+
+import pickle
+import time
+
+import numpy as np
+
+from ..config.settings import MONOCULAR, STEREO, Settings
+from ..io.mvimage import MotionVectorImage
+from .extractor import MOVExtractor
+from .frame import Frame
+from .local_mapping import LocalMapping
+from .map import Atlas
+from .tracking import State, Tracking
+from . import trajectory as traj
+from .verbose import Verbose
+
+
+class System:
+    MONOCULAR = MONOCULAR
+    STEREO = STEREO
+
+    def __init__(self, settings_file, sensor=MONOCULAR, use_viewer=False,
+                 init_frame=0, sequence="", video_tracking=True):
+        self.settings = (
+            settings_file
+            if isinstance(settings_file, Settings)
+            else Settings.from_yaml(settings_file, sensor)
+        )
+        self.sensor = sensor
+        Verbose.log(f"Input sensor set to: {'Monocular' if sensor == MONOCULAR else 'Stereo'}")
+
+        self.atlas = Atlas()
+        self.atlas.add_camera(self.settings.camera1)
+        self.mapper = LocalMapping(
+            self.atlas,
+            self.settings.camera1,
+            monocular=(sensor == MONOCULAR),
+            far_points=self.settings.th_far_points,
+        )
+        self.extractor = MOVExtractor(
+            threshold=self.settings.threshold,
+            coverage_threshold=self.settings.coverage_threshold,
+            relocalization_distance=self.settings.relocalization_distance,
+        )
+        self.tracking = Tracking(self, self.atlas, self.mapper, self.settings, self.extractor)
+
+        self._prev_state = None
+        self._prev_img = None
+        self._reset_requested = False
+
+        self.image_count = 0
+        self.track_ms = []
+
+        self.viewer = None
+        if use_viewer:
+            from ..viz.viewer import Viewer
+
+            self.viewer = Viewer(self)
+
+        if self.settings.load_atlas:
+            try:
+                self.load_atlas(self.settings.load_atlas)
+            except FileNotFoundError:
+                Verbose.log(f"Atlas file not found: {self.settings.load_atlas}")
+
+    # ------------------------------------------------------------------
+    def _build_reloc(self):
+        """Projected map points of the reference KF for the extractor's LK
+        recovery path (MOVExtractor.cc:161-243)."""
+        tr = self.tracking
+        kf = tr.reference_kf
+        lf = tr.last_frame
+        if kf is None or lf is None or not lf.pose_set:
+            return None
+        m = self.atlas.current
+        cam = self.settings.camera1
+        cap = 512
+        proj = np.zeros((cap, 2), np.float32)
+        valid = np.zeros(cap, bool)
+        ids = np.full(cap, -1, np.int32)
+        n = 0
+        R, t = lf.R, lf.t
+        for mid in kf.mp_ids:
+            if mid < 0 or n >= cap:
+                continue
+            mp = m.mappoints.get(int(mid))
+            if mp is None or mp.bad:
+                continue
+            pc = R @ mp.pos + t
+            if pc[2] <= 0:
+                continue
+            u = cam.fx * pc[0] / pc[2] + cam.cx
+            v = cam.fy * pc[1] / pc[2] + cam.cy
+            if not (0 <= u < cam.width and 0 <= v < cam.height):
+                continue
+            proj[n] = (u, v)
+            ids[n] = mp.track_id
+            valid[n] = True
+            n += 1
+        if n == 0:
+            return None
+        return {
+            "kf_img": kf.image,
+            "proj_pts": proj,
+            "proj_valid": valid,
+            "track_ids": ids,
+        }
+
+    def track_monocular(self, timestamp, smv: MotionVectorImage):
+        """System::TrackMonocular (System.cc:171-234). Returns (R, t) of the
+        current camera-from-world pose or None while initializing/lost."""
+        assert self.sensor == MONOCULAR, "sensor not set to Monocular"
+        t0 = time.perf_counter()
+
+        if self._reset_requested:
+            self._prev_state = None
+            self._reset_requested = False
+
+        reloc = None
+        tr = self.tracking
+        if (
+            tr.last_frame is not None
+            and tr.last_frame.lost
+            and tr.state == State.RECENTLY_LOST
+        ):
+            reloc = self._build_reloc()
+
+        state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
+        frame = Frame(state, timestamp=timestamp, image=smv.im_gray)
+        self._prev_state = state
+        self._prev_img = smv.im_gray
+
+        tr.grab_frame(frame)
+
+        self.image_count += 1
+        self.track_ms.append(1e3 * (time.perf_counter() - t0))
+        if self.viewer is not None:
+            self.viewer.update(frame, smv)
+        if tr.current is not None and tr.current.pose_set:
+            return tr.current.R, tr.current.t
+        return None
+
+    def track_stereo(self, timestamp, smv, smv_right):
+        """System::TrackStereo (System.cc:236-300)."""
+        assert self.sensor == STEREO, "sensor not set to Stereo"
+        from .stereo import compute_stereo_depth
+
+        t0 = time.perf_counter()
+        if self._reset_requested:
+            self._prev_state = None
+            self._reset_requested = False
+
+        reloc = None
+        tr = self.tracking
+        if (
+            tr.last_frame is not None
+            and tr.last_frame.lost
+            and tr.state == State.RECENTLY_LOST
+        ):
+            reloc = self._build_reloc()
+
+        state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
+        frame = Frame(state, timestamp=timestamp, image=smv.im_gray)
+        compute_stereo_depth(frame, smv.im_gray, smv_right.im_gray, self.settings)
+        self._prev_state = state
+        self._prev_img = smv.im_gray
+
+        tr.grab_frame(frame)
+        self.image_count += 1
+        self.track_ms.append(1e3 * (time.perf_counter() - t0))
+        if self.viewer is not None:
+            self.viewer.update(frame, smv)
+        if tr.current is not None and tr.current.pose_set:
+            return tr.current.R, tr.current.t
+        return None
+
+    # --- control ---------------------------------------------------------
+    def reset_active_map(self):
+        Verbose.log("SYSTEM-> Resetting active map")
+        self.tracking.reset_active_map()
+        self._reset_requested = True
+
+    def shutdown(self):
+        self.mapper.spin()
+        if self.settings.save_atlas:
+            self.save_atlas(self.settings.save_atlas)
+
+    # --- counters (results.txt contract) -----------------------------------
+    def get_total_lost(self):
+        return self.tracking.lost_count
+
+    def get_fps(self):
+        return self.settings.fps
+
+    def mean_track_ms(self):
+        return float(np.mean(self.track_ms)) if self.track_ms else 0.0
+
+    # --- savers ------------------------------------------------------------
+    def save_keyframe_trajectory_kitti(self, filename):
+        traj.save_keyframe_trajectory_kitti(self.atlas, filename)
+
+    def save_keyframe_trajectory_euroc(self, filename):
+        traj.save_keyframe_trajectory_euroc(self.atlas, filename)
+
+    def save_keyframe_trajectory_tum(self, filename):
+        traj.save_keyframe_trajectory_tum(self.atlas, filename)
+
+    def save_trajectory_euroc(self, filename):
+        traj.save_frame_trajectory(self.tracking, filename, scale_ts=1e9)
+
+    def save_trajectory_tum(self, filename):
+        traj.save_frame_trajectory(self.tracking, filename, scale_ts=1.0)
+
+    def save_point_cloud(self, filename):
+        traj.save_point_cloud(self.atlas, filename)
+
+    # --- checkpoint (System::SaveAtlas/LoadAtlas, System.cc:1014-1098) ------
+    def save_atlas(self, filename):
+        from .checkpoint import save_atlas
+
+        save_atlas(self.atlas, filename)
+        Verbose.log(f"Atlas saved to {filename}")
+
+    def load_atlas(self, filename):
+        from .checkpoint import load_atlas
+
+        self.atlas = load_atlas(filename)
+        self.mapper.atlas = self.atlas
+        self.tracking.atlas = self.atlas
+        Verbose.log(f"Atlas loaded from {filename}")

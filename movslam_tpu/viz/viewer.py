@@ -1,0 +1,90 @@
+"""Headless viewer: frame overlays + top-down map renders to PNG.
+
+Replaces the reference's Pangolin/imshow Viewer/FrameDrawer/MapDrawer
+(/root/reference/src/Viewer.cc, FrameDrawer.cc, MapDrawer.cc) with an
+offscreen renderer — no GL dependency; frames are drawn with cv2 primitives
+and saved on demand or streamed to a directory.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class Viewer:
+    def __init__(self, system, out_dir=None, every=1):
+        self.system = system
+        self.out_dir = out_dir
+        self.every = max(1, every)
+        self.count = 0
+        self.last_frame_render = None
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, frame, smv):
+        self.count += 1
+        if self.count % self.every:
+            return
+        img = self.draw_frame(frame, smv)
+        self.last_frame_render = img
+        if self.out_dir is not None:
+            try:
+                import cv2
+
+                cv2.imwrite(os.path.join(self.out_dir, f"frame_{self.count:06d}.png"), img)
+            except ImportError:
+                pass
+
+    def draw_frame(self, frame, smv):
+        """FrameDrawer::DrawFrame: tracked features as rectangles/circles,
+        map-point matches highlighted (FrameDrawer.cc:36-367)."""
+        img = smv.im_gray
+        out = np.stack([img] * 3, axis=-1).copy()
+        try:
+            import cv2
+        except ImportError:
+            return out
+        for i in range(frame.n):
+            x, y = int(frame.pts[i, 0]), int(frame.pts[i, 1])
+            if frame.mappoints[i] is not None and not frame.outlier[i]:
+                cv2.rectangle(out, (x - 4, y - 4), (x + 4, y + 4), (0, 255, 0), 1)
+                cv2.circle(out, (x, y), 1, (0, 255, 0), -1)
+            else:
+                cv2.circle(out, (x, y), 1, (255, 0, 0), -1)
+        state = self.system.tracking.state.name
+        n_mp = sum(1 for mp in frame.mappoints if mp is not None)
+        cv2.putText(
+            out, f"{state}  tracks:{frame.n} matches:{n_mp}",
+            (10, out.shape[0] - 10), cv2.FONT_HERSHEY_PLAIN, 1.0, (255, 255, 255), 1,
+        )
+        return out
+
+    def draw_map(self, size=640):
+        """MapDrawer top-down (x-z) view: map points + keyframe positions."""
+        out = np.full((size, size, 3), 255, np.uint8)
+        try:
+            import cv2
+        except ImportError:
+            return out
+        m = self.system.atlas.current
+        pts = [mp.pos for mp in m.mappoints.values() if not mp.bad]
+        kfs = [kf.center() for kf in m.keyframes.values() if not kf.bad]
+        if not pts and not kfs:
+            return out
+        allp = np.array(pts + kfs)
+        lo = allp.min(axis=0) - 1
+        hi = allp.max(axis=0) + 1
+        span = max(hi[0] - lo[0], hi[2] - lo[2])
+
+        def to_px(p):
+            return (
+                int((p[0] - lo[0]) / span * (size - 20)) + 10,
+                int((p[2] - lo[2]) / span * (size - 20)) + 10,
+            )
+
+        for p in pts:
+            cv2.circle(out, to_px(p), 1, (0, 0, 0), -1)
+        for c in kfs:
+            cv2.circle(out, to_px(c), 3, (255, 0, 0), -1)
+        return out

@@ -1,0 +1,96 @@
+"""End-to-end monocular SLAM on the synthetic stream: the north-star slice.
+
+Runs the full System (extractor -> tracking -> mapping -> BA) on a
+ground-truth synthetic MV stream and scores scale-aligned ATE, mirroring the
+reference's golden-trajectory evaluation strategy (SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from movslam_tpu.config.settings import Settings, MONOCULAR
+from movslam_tpu.core.system import System
+from movslam_tpu.core.tracking import State
+from movslam_tpu.io.synthetic import SyntheticStream
+
+
+def _settings():
+    s = Settings()
+    from movslam_tpu.core.camera import Pinhole
+
+    s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
+    s.fps = 30.0
+    s.threshold = 25
+    s.coverage_threshold = 0.2
+    s.relocalization_distance = 0.25
+    s.reprojection_error = 5.0
+    s.reprojection_error_lost = 8.0
+    s.sensor = MONOCULAR
+    return s
+
+
+def _umeyama_ate(gt_centers, est_centers):
+    """Scale-aligned ATE RMSE (Horn/Umeyama with scale), like
+    evaluate_ate_scale.py."""
+    gt = np.asarray(gt_centers).T  # (3, N)
+    est = np.asarray(est_centers).T
+    mu_g = gt.mean(1, keepdims=True)
+    mu_e = est.mean(1, keepdims=True)
+    gc = gt - mu_g
+    ec = est - mu_e
+    W = gc @ ec.T / gt.shape[1]
+    U, d, Vt = np.linalg.svd(W)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_e = (ec * ec).sum() / ec.shape[1]
+    s = (d * S.diagonal()).sum() / var_e
+    t = mu_g - s * R @ mu_e
+    aligned = s * R @ est + t
+    err = np.linalg.norm(aligned - gt, axis=0)
+    return float(np.sqrt((err**2).mean()))
+
+
+@pytest.mark.slow
+def test_full_mono_pipeline_ate():
+    stream = SyntheticStream(n_points=400, seed=11)
+    system = System(_settings(), MONOCULAR)
+
+    n_frames = 40
+    est = {}
+    for k in range(n_frames):
+        smv = stream.frame(k)
+        pose = system.track_monocular(smv.timestamp, smv)
+        if pose is not None:
+            R, t = pose
+            est[k] = -(R.T @ t)  # camera center
+
+    tr = system.tracking
+    assert tr.state == State.OK, tr.state
+    m = system.atlas.current
+    assert m.n_keyframes() >= 3, m.n_keyframes()
+    assert m.n_mappoints() > 100, m.n_mappoints()
+    assert len(est) >= n_frames - 10, len(est)
+
+    gt = []
+    es = []
+    for k, c in est.items():
+        R_gt, t_gt = stream.gt_pose(k)
+        gt.append(-(R_gt.T @ t_gt))
+        es.append(c)
+    ate = _umeyama_ate(gt, es)
+    # Trajectory span is ~1.5 m; sub-5cm scale-aligned ATE = healthy tracking.
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+    system.shutdown()
+    # Trajectory savers produce parseable output.
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "kitti.txt")
+        system.save_keyframe_trajectory_kitti(p)
+        rows = np.loadtxt(p)
+        assert rows.shape[1] == 13
+        p2 = os.path.join(d, "euroc.txt")
+        system.save_trajectory_euroc(p2)
+        rows2 = np.loadtxt(p2)
+        assert rows2.shape[1] == 8
