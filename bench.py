@@ -1,0 +1,74 @@
+"""Benchmark: tracked frames/sec of the full mono SLAM pipeline on TPU.
+
+Runs the complete per-frame path (MV track propagation, trackid matching,
+PnP-RANSAC x2, keyframe/mapping work including Schur-LM local BA) on a
+pre-generated synthetic MV stream and reports steady-state throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the reference's real-time operating point (30 fps
+TartanAir stream on CPU, /root/reference/README.md:47; BASELINE.md targets
+>= 10x CPU frame rate).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # Persistent compile cache (hits across bench runs; first run pays).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/movslam_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from movslam_tpu.core.system import System
+    from movslam_tpu.core.verbose import Verbose
+    from movslam_tpu.config.settings import Settings, MONOCULAR
+    from movslam_tpu.core.camera import Pinhole
+    from movslam_tpu.io.synthetic import SyntheticStream
+
+    Verbose.level = Verbose.QUIET
+
+    s = Settings()
+    s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
+    s.fps = 30.0
+    s.sensor = MONOCULAR
+
+    stream = SyntheticStream(n_points=400, seed=42)
+    n_warm, n_timed = 15, 45
+    frames = [stream.frame(k) for k in range(n_warm + n_timed)]
+
+    system = System(s, MONOCULAR)
+    for k in range(n_warm):
+        system.track_monocular(frames[k].timestamp, frames[k])
+
+    t0 = time.perf_counter()
+    for k in range(n_warm, n_warm + n_timed):
+        system.track_monocular(frames[k].timestamp, frames[k])
+    dt = time.perf_counter() - t0
+
+    fps = n_timed / dt
+    lost = system.get_total_lost()
+    baseline_fps = 30.0  # reference real-time rate on CPU
+    print(
+        json.dumps(
+            {
+                "metric": "tracked frames/sec (full mono SLAM, synthetic 640x480 MV stream)",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "extra": {
+                    "mean_track_ms": round(1e3 * dt / n_timed, 2),
+                    "lost_frames": lost,
+                    "keyframes": system.atlas.current.n_keyframes(),
+                    "mappoints": system.atlas.current.n_mappoints(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,8 +21,10 @@ class Frame:
 
     _next_id = itertools.count()
 
-    def __init__(self, track_state=None, timestamp=0.0, image=None):
-        self.id = next(Frame._next_id)
+    def __init__(self, track_state=None, timestamp=0.0, image=None, fid=None):
+        # fid: per-session frame index (used for trajectory association);
+        # falls back to a process-global counter.
+        self.id = next(Frame._next_id) if fid is None else fid
         self.timestamp = timestamp
         self.image = image
         self.R = np.eye(3)

@@ -137,7 +137,7 @@ class System:
             reloc = self._build_reloc()
 
         state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
-        frame = Frame(state, timestamp=timestamp, image=smv.im_gray)
+        frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
         self._prev_state = state
         self._prev_img = smv.im_gray
 
@@ -171,7 +171,7 @@ class System:
             reloc = self._build_reloc()
 
         state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
-        frame = Frame(state, timestamp=timestamp, image=smv.im_gray)
+        frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
         compute_stereo_depth(frame, smv.im_gray, smv_right.im_gray, self.settings)
         self._prev_state = state
         self._prev_img = smv.im_gray

@@ -1,0 +1,142 @@
+"""VideoDecoder: Python wrapper over the native FFmpeg MV decoder.
+
+L1 of the stack (SURVEY.md §2.1): the codec boundary stays host-side native
+(libmvdecoder.so, movslam_tpu/native/decoder/mv_decoder.cc), mirroring the
+reference's VideoDecoder API (/root/reference/include/VideoDecoder.h:31-42):
+`VideoDecoder(path, qlen)`, `init()`, `next_image(mv)` ->
+MotionVectorImage | None.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .mvimage import FrameType, MotionVectorImage, MAX_KPS, MAX_MVS
+
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "native", "decoder")
+_LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libmvdecoder.so"))
+
+
+class _MvFrameView(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int32),
+        ("height", ctypes.c_int32),
+        ("frame_no", ctypes.c_int32),
+        ("ft", ctypes.c_int32),
+        ("timestamp", ctypes.c_double),
+        ("coverage", ctypes.c_float),
+        ("gray", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_mvs", ctypes.c_int32),
+        ("n_kps", ctypes.c_int32),
+        ("mv_delta", ctypes.POINTER(ctypes.c_float)),
+        ("mv_rect", ctypes.POINTER(ctypes.c_float)),
+        ("mv_dindx", ctypes.POINTER(ctypes.c_int32)),
+        ("kps_rect", ctypes.POINTER(ctypes.c_float)),
+    ]
+
+
+def _load_lib(auto_build=True):
+    if not os.path.exists(_LIB_PATH) and auto_build:
+        build = os.path.join(_LIB_DIR, "build.sh")
+        try:
+            subprocess.run(["bash", build], check=True, capture_output=True)
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"native decoder build failed:\n{e.stderr.decode()[:2000]}"
+            ) from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.mvdec_open.restype = ctypes.c_void_p
+    lib.mvdec_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.mvdec_error.restype = ctypes.c_char_p
+    lib.mvdec_error.argtypes = [ctypes.c_void_p]
+    lib.mvdec_next.restype = ctypes.POINTER(_MvFrameView)
+    lib.mvdec_next.argtypes = [ctypes.c_void_p]
+    lib.mvdec_width.restype = ctypes.c_int
+    lib.mvdec_width.argtypes = [ctypes.c_void_p]
+    lib.mvdec_height.restype = ctypes.c_int
+    lib.mvdec_height.argtypes = [ctypes.c_void_p]
+    lib.mvdec_fps.restype = ctypes.c_double
+    lib.mvdec_fps.argtypes = [ctypes.c_void_p]
+    lib.mvdec_close.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+class VideoDecoder:
+    """Streaming MV decoder. `next_image(mv=True)` pops the oldest lookahead
+    frame; `mv=False` skips MV conversion cost on the Python side (used for
+    the right frames of frame-packed stereo)."""
+
+    def __init__(self, url, qlen=12):
+        self.url = url
+        self.qlen = qlen
+        self._lib = None
+        self._h = None
+        self.width = 0
+        self.height = 0
+        self.fps = 30.0
+
+    def init(self):
+        self._lib = _load_lib()
+        self._h = self._lib.mvdec_open(self.url.encode(), self.qlen)
+        err = self._lib.mvdec_error(self._h)
+        if err:
+            raise RuntimeError(f"VideoDecoder: {err.decode()} ({self.url})")
+        self.width = self._lib.mvdec_width(self._h)
+        self.height = self._lib.mvdec_height(self._h)
+        self.fps = self._lib.mvdec_fps(self._h)
+        return True
+
+    def next_image(self, mv=True):
+        vp = self._lib.mvdec_next(self._h)
+        if not vp:
+            return None
+        v = vp.contents
+        smv = MotionVectorImage.empty(v.width, v.height, MAX_MVS, MAX_KPS)
+        smv.frame_no = v.frame_no
+        smv.timestamp = v.timestamp
+        smv.ft = FrameType.I_FRAME if v.ft == 0 else FrameType.P_FRAME
+        smv.im_gray = np.ctypeslib.as_array(
+            v.gray, shape=(v.height, v.width)
+        ).copy()
+        if mv:
+            n_mvs = min(v.n_mvs, MAX_MVS)
+            n_kps = min(v.n_kps, MAX_KPS)
+            if n_mvs:
+                smv.mv_delta[:n_mvs] = np.ctypeslib.as_array(
+                    v.mv_delta, shape=(v.n_mvs, 2)
+                )[:n_mvs]
+                smv.mv_rect[:n_mvs] = np.ctypeslib.as_array(
+                    v.mv_rect, shape=(v.n_mvs, 4)
+                )[:n_mvs]
+                smv.mv_dindx[:n_mvs] = np.ctypeslib.as_array(
+                    v.mv_dindx, shape=(v.n_mvs,)
+                )[:n_mvs]
+                smv.n_mvs = n_mvs
+            if n_kps:
+                smv.kps_rect[:n_kps] = np.ctypeslib.as_array(
+                    v.kps_rect, shape=(v.n_kps, 4)
+                )[:n_kps]
+                smv.n_kps = n_kps
+            smv.coverage_area = float(v.coverage)
+        return smv
+
+    def __iter__(self):
+        while True:
+            smv = self.next_image(True)
+            if smv is None:
+                return
+            yield smv
+
+    def close(self):
+        if self._h:
+            self._lib.mvdec_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

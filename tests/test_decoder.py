@@ -1,0 +1,63 @@
+"""Native FFmpeg MV decoder: build + decode an encoded synthetic video."""
+import os
+
+import numpy as np
+import pytest
+
+from movslam_tpu.io.synthetic import SyntheticStream
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def encoded_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "mv.avi")
+    stream = SyntheticStream(n_points=150, seed=9)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (640, 480), False)
+    assert vw.isOpened()
+    for k in range(20):
+        img, _, _ = stream.render(k)
+        vw.write(img)
+    vw.release()
+    return path, stream
+
+
+def test_native_decoder_builds_and_decodes(encoded_video):
+    path, stream = encoded_video
+    from movslam_tpu.io.video import VideoDecoder
+    from movslam_tpu.io.mvimage import FrameType
+
+    dec = VideoDecoder(path, qlen=12)
+    dec.init()
+    assert (dec.width, dec.height) == (640, 480)
+
+    frames = list(dec)
+    assert len(frames) == 20
+    assert frames[0].ft == FrameType.I_FRAME
+    p_frames = [f for f in frames if f.ft == FrameType.P_FRAME]
+    assert len(p_frames) >= 15
+    # Macroblock MVs tile the frame on P-frames.
+    for f in p_frames[:5]:
+        assert f.n_mvs > 500, f.n_mvs
+        assert f.n_kps > 500
+        assert f.coverage_area > 0.5
+        # dst-block back-pointers are in range
+        d = f.mv_dindx[: f.n_mvs]
+        assert d.max() < f.n_kps
+        # source rects are inclusive in-bounds boxes
+        r = f.mv_rect[: f.n_mvs]
+        assert (r[:, 0] >= 0).all() and (r[:, 2] <= 639).all()
+        assert (r[:, 0] <= r[:, 2]).all() and (r[:, 1] <= r[:, 3]).all()
+
+    # Gray content matches the rendered source (codec-lossy).
+    img0, _, _ = stream.render(0)
+    diff = np.abs(frames[0].im_gray.astype(float) - img0.astype(float))
+    assert diff.mean() < 8.0, diff.mean()
+
+
+def test_decoder_error_on_missing_file():
+    from movslam_tpu.io.video import VideoDecoder
+
+    dec = VideoDecoder("/nonexistent/file.mp4")
+    with pytest.raises(RuntimeError, match="failed to open"):
+        dec.init()

@@ -1,0 +1,108 @@
+"""Multi-chip paths on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out.pt.shape[0] == args[2].capacity
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_sharded_ba_matches_single_device(rng):
+    """Point-sharded BA must agree with the single-device solver."""
+    from movslam_tpu.ops.ba import ba_solve, build_obs_by_point
+    from movslam_tpu.parallel.mesh import make_mesh
+    from movslam_tpu.parallel.sharded_ba import make_sharded_ba
+    from movslam_tpu.ops import lie
+
+    n_dev = 8
+    K, P_per, MOPP = 6, 16, 8
+    P = P_per * n_dev
+    O_per = P_per * 3
+    O = O_per * n_dev
+    fx = fy = 200.0
+    cx, cy = 64.0, 48.0
+
+    pts = np.stack(
+        [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P), rng.uniform(8, 14, P)], -1
+    ).astype(np.float32)
+    Rs = np.stack(
+        [np.asarray(lie.so3_exp(jnp.asarray([0, 0.03 * k, 0], jnp.float32))) for k in range(K)]
+    )
+    ts = np.stack([np.array([-0.3 * k, 0, 0], np.float32) for k in range(K)])
+
+    obs_kf = np.zeros(O, np.int32)
+    obs_mp_local = np.zeros(O, np.int32)
+    obs_mp_global = np.zeros(O, np.int32)
+    obs_uv = np.zeros((O, 2), np.float32)
+    obs_valid = np.zeros(O, bool)
+    obp_sharded = np.full((P, MOPP), O_per, np.int32)
+    for d in range(n_dev):
+        for j in range(P_per):
+            pg = d * P_per + j
+            for c in range(3):
+                ol = j * 3 + c
+                og = d * O_per + ol
+                k = (pg + c) % K
+                pc = Rs[k] @ pts[pg] + ts[k]
+                uv = (fx * pc[0] / pc[2] + cx, fy * pc[1] / pc[2] + cy)
+                obs_kf[og] = k
+                obs_mp_local[og] = j
+                obs_mp_global[og] = pg
+                obs_uv[og] = uv + rng.normal(0, 0.3, 2)
+                obs_valid[og] = True
+                obp_sharded[pg, c] = ol
+
+    # Perturb.
+    ts_p = ts + rng.normal(0, 0.03, ts.shape).astype(np.float32)
+    pts_p = pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)
+    kf_fixed = np.arange(K) == 0
+
+    mesh = make_mesh(n_dev)
+    ba = make_sharded_ba(mesh, iters=8)
+    R_sh, t_sh, X_sh, costs = ba(
+        jnp.asarray(Rs), jnp.asarray(ts_p), jnp.asarray(kf_fixed),
+        jnp.ones(K, bool), jnp.asarray(pts_p), jnp.ones(P, bool),
+        jnp.asarray(obs_kf), jnp.asarray(obs_mp_local), jnp.asarray(obs_uv),
+        jnp.asarray(obs_valid), jnp.asarray(obp_sharded), fx, fy, cx, cy,
+    )
+
+    obp_single = np.full((P, MOPP), O, np.int32)
+    fill = np.zeros(P, np.int32)
+    for og in range(O):
+        pg = obs_mp_global[og]
+        obp_single[pg, fill[pg]] = og
+        fill[pg] += 1
+    res = ba_solve(
+        jnp.asarray(Rs), jnp.asarray(ts_p), jnp.asarray(kf_fixed),
+        jnp.ones(K, bool), jnp.asarray(pts_p), jnp.ones(P, bool),
+        jnp.asarray(obs_kf), jnp.asarray(obs_mp_global), jnp.asarray(obs_uv),
+        jnp.asarray(obs_valid), jnp.asarray(obp_single), fx, fy, cx, cy, iters=8,
+    )
+
+    # Both solvers converge to the same geometry (LM damping schedules are
+    # identical; tiny float reduction-order differences remain).
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(res["kf_t"]), atol=5e-3)
+    # Weakly-constrained point depths amplify the residual LM-path
+    # differences; require the same structure to ~5 cm at ~12 m depth and
+    # equivalent final cost.
+    np.testing.assert_allclose(np.asarray(X_sh), np.asarray(res["mp_pos"]), atol=5e-2)
+    costs = np.asarray(costs)
+    assert costs[-1] <= costs[0]
+    assert costs[-1] <= float(res["cost"]) * 1.1 + 1e-3
