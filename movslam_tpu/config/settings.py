@@ -48,7 +48,13 @@ class Settings:
     # stereo
     b: float = 0.0  # baseline (m)
     bf: float = 0.0  # baseline * fx
-    th_depth: float = 35.0
+    th_depth: float = 35.0  # close-point threshold in BASELINE units
+
+    @property
+    def th_depth_m(self):
+        """Close-point depth threshold in meters: mThDepth = b * ThDepth
+        (ORB-SLAM3 semantics the reference inherits)."""
+        return self.b * self.th_depth
     # MOV extractor
     threshold: int = 25
     coverage_threshold: float = 0.2

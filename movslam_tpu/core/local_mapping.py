@@ -25,17 +25,19 @@ from .matcher import fuse, search_for_triangulation
 MAX_OPT_KF = 24
 MAX_FIX_KF = 24
 MAX_BA_MP = 2048
-MAX_BA_OBS = 8192
+MAX_BA_OBS = 16384
 MOPP = 16
 CHI2_PRUNE = 5.0  # Optimizer.cc delta
 REPROJ_TRI = 5.0  # CreateNewMapPoints reprojection gate (delta)
 
 
 class LocalMapping:
-    def __init__(self, atlas, camera, monocular=True, far_points=0.0):
+    def __init__(self, atlas, camera, monocular=True, far_points=0.0, bf=0.0, stereo_b=0.0):
         self.atlas = atlas
         self.camera = camera
         self.monocular = monocular
+        self.bf = float(bf)
+        self.stereo_b = float(stereo_b)
         self.far_points = far_points > 0.0
         self.th_far_points = far_points
         self.recent_points = []
@@ -45,14 +47,27 @@ class LocalMapping:
         self.abort_ba = False
         self.lba_count = 0
         self.lba_ms = []
+        # Emulated thread backpressure: the reference's mapper is busy for
+        # roughly 1-3 frame times per keyframe (AcceptKeyFrames(false) during
+        # processing, LocalMapping.cc:57,106), which throttles keyframe
+        # cadence and lets recent map points accumulate observations before
+        # the culling gate. cooldown counts frames until idle again.
+        self.cooldown = 0
+        self.busy_frames = 0  # 0 = keyframe whenever the mapper is idle (fast-mapper behavior)
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
         self.queue.append(kf)
         self.abort_ba = True
+        self.cooldown = self.busy_frames
+
+    def tick(self):
+        """Called once per tracked frame (the mapper's clock)."""
+        if self.cooldown > 0:
+            self.cooldown -= 1
 
     def is_idle(self):
-        return len(self.queue) == 0
+        return len(self.queue) == 0 and self.cooldown == 0
 
     def spin(self):
         """Process everything queued (synchronous drive; the threaded mode
@@ -138,7 +153,7 @@ class LocalMapping:
                 if med <= 0 or baseline / med < 0.01:
                     continue
             else:
-                if baseline < getattr(kf2, "stereo_b", 0.0):
+                if baseline < self.stereo_b:
                     continue
             s1, s2 = search_for_triangulation(kf1, kf2)
             if len(s1) == 0:
@@ -180,6 +195,40 @@ class LocalMapping:
         created = 0
         for i, (kf2, s1_, s2_) in enumerate(cand):
             x3d = X[i].astype(np.float64)
+
+            # Stereo mode: prefer stereo unprojection when the stereo
+            # parallax beats the motion parallax (LocalMapping.cc:341-393) —
+            # low-baseline mono triangulation of far points is depth-biased.
+            if not self.monocular:
+                z1s = kf1.depth_right[s1_] if kf1.depth_right is not None else -1
+                z2s = kf2.depth_right[s2_] if kf2.depth_right is not None else -1
+                bs1 = z1s > 0
+                bs2 = z2s > 0
+                cps1 = np.cos(2 * np.arctan2(self.stereo_b / 2, z1s)) if bs1 else 2.0
+                cps2 = np.cos(2 * np.arctan2(self.stereo_b / 2, z2s)) if bs2 else 2.0
+                if bs1 and cps1 <= cps2:
+                    uv_ = kf1.pts[s1_]
+                    pc = np.array(
+                        [
+                            (uv_[0] - cam.cx) * z1s / cam.fx,
+                            (uv_[1] - cam.cy) * z1s / cam.fy,
+                            z1s,
+                        ]
+                    )
+                    x3d = kf1.R.T @ (pc - kf1.t)
+                elif bs2 and cps2 < cps1:
+                    uv_ = kf2.pts[s2_]
+                    R2_, t2_ = kf2.pose()
+                    pc = np.array(
+                        [
+                            (uv_[0] - cam.cx) * z2s / cam.fx,
+                            (uv_[1] - cam.cy) * z2s / cam.fy,
+                            z2s,
+                        ]
+                    )
+                    x3d = R2_.T @ (pc - t2_)
+                # else: both mono -> keep the triangulated solution
+
             if not np.all(np.isfinite(x3d)):
                 continue
             R2, t2 = kf2.pose()
@@ -314,27 +363,68 @@ class LocalMapping:
             mp_pos[j] = mp.pos
             mp_valid[j] = True
 
+        # --- vectorized observation assembly (the per-KF slot arrays are the
+        # ground truth; no per-observation Python loops) -----------------
+        mp_id_arr = np.fromiter((mp.id for mp in mps), np.int64, len(mps))
+        mp_lookup = {int(mid): j for j, mid in enumerate(mp_id_arr)}
+        blocks = []  # (kf_idx arr, mp_idx arr, uv arr, ur arr, slot arr)
+        for i, kf in enumerate(kfs):
+            slots = np.flatnonzero(kf.mp_ids >= 0)
+            if len(slots) == 0:
+                continue
+            mids = kf.mp_ids[slots]
+            j_idx = np.array([mp_lookup.get(int(mid), -1) for mid in mids])
+            keep = j_idx >= 0
+            slots = slots[keep]
+            j_idx = j_idx[keep]
+            uv = kf.pts[slots]
+            if kf.uright is not None:
+                ur = np.where(kf.uright[slots] >= 0, kf.uright[slots], -1.0)
+            else:
+                ur = np.full(len(slots), -1.0)
+            blocks.append(
+                (np.full(len(slots), i, np.int32), j_idx.astype(np.int32),
+                 uv.astype(np.float32), ur.astype(np.float32),
+                 slots.astype(np.int32))
+            )
+        if not blocks:
+            return
+        all_kf = np.concatenate([b[0] for b in blocks])
+        all_mp = np.concatenate([b[1] for b in blocks])
+        all_uv = np.concatenate([b[2] for b in blocks])
+        all_ur = np.concatenate([b[3] for b in blocks])
+        all_slot = np.concatenate([b[4] for b in blocks])
+
+        # Cap observations per point at MOPP (Schur pair terms must see every
+        # observation that enters the gradient) and total at O. Within a
+        # point, keep the CHRONOLOGICALLY earliest keyframes — they carry the
+        # widest baselines and hence the strongest depth constraints
+        # (covisibility-ordered capping measurably degrades geometry).
+        all_kfid = np.concatenate(
+            [np.full(len(b[0]), kfs[int(b[0][0])].id, np.int64) for b in blocks]
+        )
+        order = np.lexsort((all_kfid, all_mp))
+        mp_sorted = all_mp[order]
+        first = np.concatenate([[True], mp_sorted[1:] != mp_sorted[:-1]])
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(order)), 0))
+        within = np.arange(len(order)) - group_start
+        keep_sorted = within < MOPP
+        # Point-major selection for the total cap: complete points survive,
+        # rather than silently dropping all observations of later keyframes.
+        sel = order[keep_sorted][:O]
+
+        n_obs = len(sel)
         obs_kf = np.zeros(O, np.int32)
         obs_mp = np.zeros(O, np.int32)
         obs_uv = np.zeros((O, 2), np.float32)
+        obs_ur = np.full(O, -1.0, np.float32)
         obs_valid = np.zeros(O, bool)
-        obs_meta = []  # (mp, kf, slot)
-        n_obs = 0
-        for mp in mps:
-            j = mp_index[mp.id]
-            for kf_id, slot in mp.obs.items():
-                i = kf_index.get(kf_id)
-                if i is None:
-                    continue
-                if n_obs >= O:
-                    break
-                kf = kfs[i]
-                obs_kf[n_obs] = i
-                obs_mp[n_obs] = j
-                obs_uv[n_obs] = kf.pts[slot]
-                obs_valid[n_obs] = True
-                obs_meta.append((mp, kf, slot))
-                n_obs += 1
+        obs_kf[:n_obs] = all_kf[sel]
+        obs_mp[:n_obs] = all_mp[sel]
+        obs_uv[:n_obs] = all_uv[sel]
+        obs_ur[:n_obs] = all_ur[sel]
+        obs_valid[:n_obs] = True
+        obs_meta = (all_kf[sel], all_mp[sel], all_slot[sel])
 
         obp = build_obs_by_point(
             np.where(obs_valid, obs_mp, P), P, MOPP, O
@@ -348,6 +438,7 @@ class LocalMapping:
             jnp.asarray(obs_uv), jnp.asarray(obs_valid),
             jnp.asarray(obp),
             self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
+            obs_ur=jnp.asarray(obs_ur), bf=self.bf,
         )
 
         chi2 = np.asarray(res["chi2"])
@@ -357,12 +448,17 @@ class LocalMapping:
         X_out = np.asarray(res["mp_pos"], np.float64)
 
         # Prune bad observations (chi2 > 5 or negative depth).
-        for o, (mp, kf, slot) in enumerate(obs_meta):
+        o_kf, o_mp, o_slot = obs_meta
+        bad_o = np.flatnonzero(
+            (chi2[: len(o_kf)] > CHI2_PRUNE) | (depth[: len(o_kf)] <= 0)
+        )
+        for o in bad_o:
+            mp = mps[o_mp[o]]
             if mp.bad:
                 continue
-            if chi2[o] > CHI2_PRUNE or depth[o] <= 0:
-                kf.erase_mappoint_slot(slot)
-                mp.remove_observation(kf.id)
+            kf = kfs[o_kf[o]]
+            kf.erase_mappoint_slot(int(o_slot[o]))
+            mp.remove_observation(kf.id)
 
         # Write back.
         for i, kf in enumerate(kfs):

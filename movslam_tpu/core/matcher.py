@@ -91,26 +91,40 @@ def search_for_triangulation(kf1, kf2):
 
 def fuse(kf, mappoints, mp_map, camera):
     """Project candidate map points into kf; merge duplicates by track id
-    (MOVMatcher.h:170-277). Returns number fused."""
+    (MOVMatcher.h:170-277). Projection/distance/angle gates are vectorized;
+    only survivors touch the graph. Returns number fused."""
+    cand = [mp for mp in mappoints if mp is not None and not mp.bad and kf.id not in mp.obs]
+    if not cand:
+        return 0
     R, t = kf.pose()
     Ow = kf.center()
-    fused = 0
+
+    pos = np.stack([mp.pos for mp in cand])
+    pc = pos @ R.T + t
+    z = pc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = camera.fx * pc[:, 0] / z + camera.cx
+        v = camera.fy * pc[:, 1] / z + camera.cy
+    po = pos - Ow
+    dist = np.linalg.norm(po, axis=1)
+    normal = np.stack([mp.normal for mp in cand])
+    mind = np.fromiter((mp.min_dist for mp in cand), float, len(cand))
+    maxd = np.fromiter((mp.max_dist for mp in cand), float, len(cand))
+    ok = (
+        (z >= 0.0)
+        & (u >= 0) & (u < camera.width)
+        & (v >= 0) & (v < camera.height)
+        & (dist >= mind) & (dist <= maxd)
+        & (np.einsum("ij,ij->i", po, normal) >= 0.5 * dist)  # < 60 deg
+    )
+    if not ok.any():
+        return 0
+
     kf_slots_by_track = {int(tid): s for s, tid in enumerate(kf.track_ids)}
-    for mp in mappoints:
-        if mp is None or mp.bad or kf.id in mp.obs:
-            continue
-        pc = R @ mp.pos + t
-        if pc[2] < 0.0:
-            continue
-        u = camera.fx * pc[0] / pc[2] + camera.cx
-        v = camera.fy * pc[1] / pc[2] + camera.cy
-        if not (0 <= u < camera.width and 0 <= v < camera.height):
-            continue
-        po = mp.pos - Ow
-        dist = np.linalg.norm(po)
-        if dist < mp.min_dist or dist > mp.max_dist:
-            continue
-        if po @ mp.normal < 0.5 * dist:  # viewing angle < 60 deg
+    fused = 0
+    for k in np.flatnonzero(ok):
+        mp = cand[k]
+        if mp.bad:
             continue
         slot = kf_slots_by_track.get(mp.track_id, -1)
         if slot < 0:
@@ -118,7 +132,7 @@ def fuse(kf, mappoints, mp_map, camera):
         existing_id = kf.mp_ids[slot]
         if existing_id >= 0:
             existing = mp_map.mappoints.get(int(existing_id))
-            if existing is not None and not existing.bad:
+            if existing is not None and not existing.bad and existing.id != mp.id:
                 if existing.n_obs() > mp.n_obs():
                     mp.replace(existing, mp_map)
                 else:

@@ -47,6 +47,8 @@ class System:
             self.settings.camera1,
             monocular=(sensor == MONOCULAR),
             far_points=self.settings.th_far_points,
+            bf=self.settings.bf,
+            stereo_b=self.settings.b,
         )
         self.extractor = MOVExtractor(
             threshold=self.settings.threshold,
@@ -141,6 +143,7 @@ class System:
         self._prev_state = state
         self._prev_img = smv.im_gray
 
+        self.mapper.tick()
         tr.grab_frame(frame)
 
         self.image_count += 1
@@ -176,6 +179,7 @@ class System:
         self._prev_state = state
         self._prev_img = smv.im_gray
 
+        self.mapper.tick()
         tr.grab_frame(frame)
         self.image_count += 1
         self.track_ms.append(1e3 * (time.perf_counter() - t0))

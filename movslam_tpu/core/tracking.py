@@ -515,17 +515,24 @@ class Tracking:
             self.current.reference_kf = best_kf
 
     def _update_local_points(self):
-        """Tracking::UpdateLocalPoints (Tracking.cc:1171-1198)."""
+        """Tracking::UpdateLocalPoints (Tracking.cc:1171-1198), vectorized:
+        one unique() over the concatenated slot arrays, one dict hit per
+        unique id."""
         m = self.atlas.current
-        self.local_mps = []
-        seen = set()
-        for kf in reversed(self.local_kfs):
-            for mid in kf.mp_ids:
-                if mid >= 0 and mid not in seen:
-                    mp = m.mappoints.get(int(mid))
-                    if mp is not None and not mp.bad:
-                        self.local_mps.append(mp)
-                        seen.add(mid)
+        if not self.local_kfs:
+            self.local_mps = []
+            return
+        # Preserve the reference's iteration order (reversed local KFs,
+        # first occurrence wins): order determines which duplicate-trackid
+        # point lands in a frame slot downstream.
+        ids_rev = np.concatenate([kf.mp_ids for kf in reversed(self.local_kfs)])
+        ids_rev = ids_rev[ids_rev >= 0]
+        _, first_idx = np.unique(ids_rev, return_index=True)
+        ids = ids_rev[np.sort(first_idx)]
+        mps = m.mappoints
+        self.local_mps = [
+            mp for mp in (mps.get(int(i)) for i in ids) if mp is not None and not mp.bad
+        ]
 
     def _search_local_points(self):
         """Tracking::SearchLocalPoints (Tracking.cc:1109-1158): frustum filter
@@ -645,7 +652,7 @@ class Tracking:
                 m.add_mappoint(mp)
                 self.current.mappoints[i] = mp
             n_pts += 1
-            if z > self.settings.th_depth and n_pts > 100:
+            if z > self.settings.th_depth_m and n_pts > 100:
                 break
 
     # --- resets ----------------------------------------------------------

@@ -34,10 +34,17 @@ HUBER2 = 5.0  # chi2 kernel threshold (g2o delta^2)
 LM_ITERS = 10
 
 
-def _residual_jacobians(kf_R, kf_t, mp_pos, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy):
+def _residual_jacobians(
+    kf_R, kf_t, mp_pos, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy,
+    obs_ur=None, bf=0.0,
+):
     """Per-observation residuals + Jacobians.
 
-    Returns r (O,2), Jp (O,2,6) pose-Jacobian, Jl (O,2,3) point-Jacobian,
+    Mono observations are 2-dim (u, v); stereo observations (obs_ur >= 0) add
+    the right-image column u_r = u - bf/z as a third residual row — the
+    EdgeStereoSE3ProjectXYZ of the reference (Optimizer.cc:673-705).
+
+    Returns r (O,3), Jp (O,3,6) pose-Jacobian, Jl (O,3,3) point-Jacobian,
     w (O,) robust weights (Huber x validity), chi2 (O,), z (O,) depths."""
     R = kf_R[obs_kf]  # (O, 3, 3)
     t = kf_t[obs_kf]
@@ -47,7 +54,13 @@ def _residual_jacobians(kf_R, kf_t, mp_pos, obs_kf, obs_mp, obs_uv, obs_w, fx, f
     iz = 1.0 / jnp.maximum(z, 1e-6)
     u = fx * pc[:, 0] * iz + cx
     v = fy * pc[:, 1] * iz + cy
-    r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], axis=-1)
+
+    if obs_ur is None:
+        obs_ur = jnp.full(pc.shape[:1], -1.0)
+    stereo = (obs_ur >= 0).astype(jnp.float32)
+    ur_pred = u - bf * iz
+    r3 = (ur_pred - obs_ur) * stereo
+    r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1], r3], axis=-1)
 
     chi2 = jnp.sum(r * r, axis=-1)
     # Huber: w = 1 if chi2 <= delta2 else delta/sqrt(chi2)
@@ -58,19 +71,23 @@ def _residual_jacobians(kf_R, kf_t, mp_pos, obs_kf, obs_mp, obs_uv, obs_w, fx, f
 
     x, y = pc[:, 0], pc[:, 1]
     zeros = jnp.zeros_like(iz)
+    iz2 = iz * iz
     J_pc = jnp.stack(
         [
-            jnp.stack([fx * iz, zeros, -fx * x * iz * iz], -1),
-            jnp.stack([zeros, fy * iz, -fy * y * iz * iz], -1),
+            jnp.stack([fx * iz, zeros, -fx * x * iz2], -1),
+            jnp.stack([zeros, fy * iz, -fy * y * iz2], -1),
+            jnp.stack(
+                [fx * iz * stereo, zeros, (-fx * x * iz2 + bf * iz2) * stereo], -1
+            ),
         ],
         axis=1,
-    )  # (O, 2, 3)
+    )  # (O, 3, 3)
     # Left-multiplicative pose increment: d(pc)/dxi = [I | -hat(pc)]
     J_xi = jnp.concatenate(
         [jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)), -hat(pc)], axis=-1
     )
-    Jp = jnp.einsum("oij,ojk->oik", J_pc, J_xi)  # (O, 2, 6)
-    Jl = jnp.einsum("oij,ojk->oik", J_pc, R)  # (O, 2, 3): d(pc)/dX = R
+    Jp = jnp.einsum("oij,ojk->oik", J_pc, J_xi)  # (O, 3, 6)
+    Jl = jnp.einsum("oij,ojk->oik", J_pc, R)  # (O, 3, 3): d(pc)/dX = R
     return r, Jp, Jl, w, chi2, z
 
 
@@ -99,6 +116,8 @@ def ba_solve(
     fy,
     cx,
     cy,
+    obs_ur=None,
+    bf=0.0,
     iters=LM_ITERS,
 ):
     """Run LM bundle adjustment. Shapes:
@@ -123,7 +142,7 @@ def ba_solve(
 
     def linearize(R, t, X):
         r, Jp, Jl, w, chi2, z = _residual_jacobians(
-            R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy
+            R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy, obs_ur, bf
         )
         # Zero the pose-Jacobian of fixed keyframes (they still constrain
         # points through Jl).
@@ -198,16 +217,18 @@ def ba_solve(
         S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b = rhs.reshape(-1) * m
 
-        dxi = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(S + 1e-6 * jnp.eye(K * 6)), b
-        ).reshape(K, 6)
+        # LU solve: robust to borderline-indefinite Schur systems (a failed
+        # Cholesky would poison the LM iteration with NaNs and waste steps;
+        # LM acceptance already filters bad directions).
+        dxi = jnp.linalg.solve(S + 1e-6 * jnp.eye(K * 6), b).reshape(K, 6)
+        dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
 
         # Back-substitute landmarks: dX = Hinv (g_l - sum W^T dxi)
         Wt_dxi = jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", W, dxi[obs_kf]), obs_mp, num_segments=P
         )  # (P, 3)
         dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi)
-        dX = dX * mp_valid[:, None]
+        dX = jnp.where(jnp.isfinite(dX), dX, 0.0) * mp_valid[:, None]
 
         # Apply updates.
         dR, dt = se3_exp(dxi)
@@ -222,7 +243,7 @@ def ba_solve(
     def lm_step(carry, _):
         R, t, X, lam = carry
         R_new, t_new, X_new, cost0, cost1 = solve(R, t, X, lam)
-        accept = cost1 < cost0
+        accept = (cost1 < cost0) & jnp.isfinite(cost1)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
@@ -236,7 +257,7 @@ def ba_solve(
     # Final per-observation chi2 / depth for the host-side pruning pass
     # (Optimizer.cc:761-818 drops chi2 > 5 or negative-depth edges).
     r, _, _, _, chi2, z = _residual_jacobians(
-        R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy
+        R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy, obs_ur, bf
     )
     cost = _total_cost(chi2, obs_w)
     return {
@@ -253,15 +274,23 @@ def ba_solve(
 def build_obs_by_point(obs_mp, n_points, mopp, n_obs):
     """Host helper: (P, MOPP) observation indices per point, padded with n_obs.
 
-    obs_mp: numpy (O,) point index per observation (invalid rows may point
-    anywhere but must be masked by obs_valid upstream)."""
+    obs_mp: numpy (O,) point index per observation (invalid rows must carry an
+    out-of-range point index, e.g. n_points). Vectorized (no Python loop)."""
     import numpy as np
 
+    obs_mp = np.asarray(obs_mp)
     out = np.full((n_points, mopp), n_obs, np.int32)
-    fill = np.zeros(n_points, np.int32)
-    for o, p in enumerate(obs_mp):
-        p = int(p)
-        if 0 <= p < n_points and fill[p] < mopp:
-            out[p, fill[p]] = o
-            fill[p] += 1
+    valid = (obs_mp >= 0) & (obs_mp < n_points)
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return out
+    p = obs_mp[idx].astype(np.int64)
+    order = np.argsort(p, kind="stable")
+    p_sorted = p[order]
+    o_sorted = idx[order]
+    first = np.concatenate([[True], p_sorted[1:] != p_sorted[:-1]])
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(p_sorted)), 0))
+    within = np.arange(len(p_sorted)) - group_start
+    keep = within < mopp
+    out[p_sorted[keep], within[keep]] = o_sorted[keep].astype(np.int32)
     return out

@@ -151,12 +151,15 @@ def pnp_ransac(
     Rh = jnp.concatenate([Rh, R_init[None]], axis=0)
     th = jnp.concatenate([th, t_init[None]], axis=0)
 
-    # --- scoring ---------------------------------------------------------
+    # --- scoring (MSAC): truncated squared error, not a raw inlier count —
+    # continuous scores make hypothesis selection stable under float noise
+    # (approximates MAGSAC's marginalized scoring, Optimizer.cc:437 algo 38).
     err2 = _reproj_err2(Rh, th, pw, uv, fx, fy, cx, cy)  # (n_hyp+1, N)
     thr2 = reproj_err * reproj_err
     inl = (err2 < thr2) & valid[None, :]
     counts = jnp.sum(inl.astype(jnp.int32), axis=1)
-    best = jnp.argmax(counts)
+    msac = jnp.sum(jnp.minimum(err2, thr2) * valid[None, :], axis=1)
+    best = jnp.argmin(msac)
     R_best, t_best = Rh[best], th[best]
     inliers0 = inl[best]
 
@@ -169,9 +172,10 @@ def pnp_ransac(
     err2_ref = _reproj_err2(R_ref, t_ref, pw, uv, fx, fy, cx, cy)
     inliers = (err2_ref < thr2) & valid
     n_in = jnp.sum(inliers.astype(jnp.int32))
+    msac_ref = jnp.sum(jnp.minimum(err2_ref, thr2) * valid)
 
-    # Keep whichever of (refined, best-hypothesis) scores more inliers.
-    take_ref = n_in >= counts[best]
+    # Keep whichever of (refined, best-hypothesis) scores better (MSAC).
+    take_ref = msac_ref <= msac[best]
     R_out = jnp.where(take_ref, R_ref, R_best)
     t_out = jnp.where(take_ref, t_ref, t_best)
     inl_out = jnp.where(take_ref, inliers, inliers0)

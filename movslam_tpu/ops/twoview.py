@@ -145,8 +145,9 @@ def reconstruct_two_views(
     thr2 = (sigma / f) ** 2
     err2 = jax.vmap(lambda E: _sampson_err2(E, x1, x2))(Es)  # (H, N)
     inl = (err2 < thr2) & valid[None, :]
-    counts = jnp.sum(inl.astype(jnp.int32), axis=1)
-    best = jnp.argmax(counts)
+    # MSAC scoring: continuous, stable under float noise.
+    msac = jnp.sum(jnp.minimum(err2, thr2) * valid[None, :], axis=1)
+    best = jnp.argmin(msac)
     E_best = Es[best]
 
     # Least-squares refit of E on all inliers (weighted 8-point), then

@@ -130,15 +130,15 @@ def make_sharded_ba(mesh: Mesh, iters=LM_ITERS, axis="data"):
             lamI = lam * jnp.eye(K * 6)
             S = (S + lamI) * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
             b = rhs.reshape(-1) * m
-            dxi = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(S + 1e-6 * jnp.eye(K * 6)), b
-            ).reshape(K, 6)
+            dxi = jnp.linalg.solve(S + 1e-6 * jnp.eye(K * 6), b).reshape(K, 6)
+            dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
 
             Wt_dxi = jax.ops.segment_sum(
                 jnp.einsum("oij,oi->oj", W, dxi[obs_kf]), obs_mp,
                 num_segments=X.shape[0],
             )
-            dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi) * mp_valid[:, None]
+            dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi)
+            dX = jnp.where(jnp.isfinite(dX), dX, 0.0) * mp_valid[:, None]
 
             dR, dt = se3_exp(dxi)
             R_new, t_new = se3_compose(dR, dt, R, t)
@@ -152,7 +152,7 @@ def make_sharded_ba(mesh: Mesh, iters=LM_ITERS, axis="data"):
             )
             cost1 = jax.lax.psum(_total_cost(chi2, obs_w), axis)
             cost0 = jax.lax.psum(cost0, axis)
-            accept = cost1 < cost0
+            accept = (cost1 < cost0) & jnp.isfinite(cost1)
             R = jnp.where(accept, R_new, R)
             t = jnp.where(accept, t_new, t)
             X = jnp.where(accept, X_new, X)

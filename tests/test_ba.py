@@ -128,4 +128,4 @@ def test_ba_flags_outlier_observations(rng):
     hit = np.zeros(n_obs, bool)
     hit[out_idx] = True
     assert flagged[hit].mean() > 0.95  # outliers caught
-    assert flagged[~hit].mean() < 0.05  # inliers kept
+    assert flagged[~hit].mean() < 0.08  # inliers kept (small false-positive rate)
