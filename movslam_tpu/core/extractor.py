@@ -101,6 +101,39 @@ def _segment_from_state(pt, tid, age, desc, wh, cov, accept, order):
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "max_cov"))
+def _p_frame_step_packed(
+    img,
+    prev_img,
+    prev: TrackState,
+    mv_pack,
+    kps_pack,
+    coverage_area,
+    threshold,
+    coverage_threshold,
+    capacity=MAX_TRACKS,
+    max_cov=MAX_COV,
+):
+    """Packed-transfer wrapper: unpacks the single-upload MV/KP arrays
+    (io.mvimage.MotionVectorImage.packed) inside the program."""
+    return _p_frame_body(
+        img,
+        prev_img,
+        prev,
+        mv_pack[:, 0:2],
+        mv_pack[:, 2:6],
+        mv_pack[:, 6].astype(jnp.int32),
+        mv_pack[:, 7] > 0,
+        kps_pack[:, 0:4],
+        kps_pack[:, 4] > 0,
+        coverage_area,
+        threshold,
+        coverage_threshold,
+        capacity,
+        max_cov,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "max_cov"))
 def _p_frame_step(
     img,
     prev_img,
@@ -116,6 +149,29 @@ def _p_frame_step(
     coverage_threshold,
     capacity=MAX_TRACKS,
     max_cov=MAX_COV,
+):
+    return _p_frame_body(
+        img, prev_img, prev, mv_delta, mv_rect, mv_dindx, mv_valid,
+        kps_rect, kps_valid, coverage_area, threshold, coverage_threshold,
+        capacity, max_cov,
+    )
+
+
+def _p_frame_body(
+    img,
+    prev_img,
+    prev: TrackState,
+    mv_delta,
+    mv_rect,
+    mv_dindx,
+    mv_valid,
+    kps_rect,
+    kps_valid,
+    coverage_area,
+    threshold,
+    coverage_threshold,
+    capacity,
+    max_cov,
 ):
     H, W = img.shape
     N = prev.capacity
@@ -312,9 +368,14 @@ class MOVExtractor:
         self.capacity = capacity
         # Persistent id counter (mCurrentId): survives map resets, which clear
         # the previous frame but not the extractor (MOVExtractor.h:38).
-        self.next_id = 0
+        # Kept as a device scalar between frames to avoid blocking syncs.
+        self._next_id_dev = None
 
-    def extract(self, smv: MotionVectorImage, prev_state, prev_img, reloc=None):
+    @property
+    def next_id(self):
+        return 0 if self._next_id_dev is None else int(self._next_id_dev)
+
+    def extract(self, smv: MotionVectorImage, prev_state, prev_img, reloc=None, img_dev=None):
         """One frame of feature extraction.
 
         smv: MotionVectorImage (host). prev_state: TrackState or None.
@@ -324,7 +385,7 @@ class MOVExtractor:
 
         Returns the new TrackState.
         """
-        img = jnp.asarray(smv.im_gray)
+        img = img_dev if img_dev is not None else jnp.asarray(smv.im_gray)
 
         if smv.ft == FrameType.I_FRAME or prev_state is None:
             if prev_state is not None and int(jnp.sum(prev_state.valid)) > 0:
@@ -332,27 +393,25 @@ class MOVExtractor:
                     img, jnp.asarray(prev_img), prev_state, capacity=self.capacity
                 )
             else:
-                next_id = (
-                    prev_state.next_id
-                    if prev_state is not None
-                    else jnp.asarray(self.next_id, jnp.int32)
-                )
+                if prev_state is not None:
+                    next_id = prev_state.next_id
+                elif self._next_id_dev is not None:
+                    next_id = self._next_id_dev
+                else:
+                    next_id = jnp.asarray(0, jnp.int32)
                 out = _i_frame_coldstart(
                     img, self.threshold, next_id, capacity=self.capacity
                 )
-            self.next_id = int(out.next_id)
+            self._next_id_dev = out.next_id  # no blocking sync per frame
             return out
 
-        state = _p_frame_step(
+        mv_pack, kps_pack = smv.packed()
+        state = _p_frame_step_packed(
             img,
             jnp.asarray(prev_img),
             prev_state,
-            jnp.asarray(smv.mv_delta),
-            jnp.asarray(smv.mv_rect),
-            jnp.asarray(smv.mv_dindx),
-            jnp.asarray(smv.mv_valid),
-            jnp.asarray(smv.kps_rect),
-            jnp.asarray(smv.kps_valid),
+            jnp.asarray(mv_pack),
+            jnp.asarray(kps_pack),
             jnp.asarray(smv.coverage_area, jnp.float32),
             self.threshold,
             self.coverage_threshold,
@@ -380,7 +439,7 @@ class MOVExtractor:
                 jnp.arange(state.capacity, dtype=jnp.int32),
             )
             state = _merge_reloc(seg_reloc, seg_main, state.next_id, self.capacity)
-        self.next_id = int(state.next_id)
+        self._next_id_dev = state.next_id  # no blocking sync per frame
         return state
 
 

@@ -12,11 +12,12 @@ adjustment — executes as fixed-shape device programs.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.ba import ba_solve, build_obs_by_point
-from ..ops.triangulate import triangulate
-from .map import KeyFrame, MapPoint
+from ..ops.triangulate import triangulate, triangulate_pairs_padded
+from .map import KeyFrame, MapPoint, update_normals_batch
 from .matcher import fuse, search_for_triangulation
 
 # LBA capacities (padded; one compile). Local KFs beyond the cap are dropped
@@ -69,15 +70,20 @@ class LocalMapping:
     def is_idle(self):
         return len(self.queue) == 0 and self.cooldown == 0
 
-    def spin(self):
+    def spin(self, final=False):
         """Process everything queued (synchronous drive; the threaded mode
-        calls this in a loop)."""
+        calls this in a loop). final=True also commits the in-flight BA."""
         while self.queue:
             self.process_one()
+        if final:
+            self._commit_pending_ba()
 
     def process_one(self):
         if not self.queue:
             return
+        # Commit the previous keyframe's bundle adjustment first: it was
+        # launched asynchronously and has been overlapping with tracking.
+        self._commit_pending_ba()
         kf = self.queue.pop(0)
         self.current_kf = kf
         m = self.atlas.current
@@ -98,6 +104,7 @@ class LocalMapping:
     # --- stages -----------------------------------------------------------
     def _process_new_keyframe(self, kf, m):
         """LocalMapping::ProcessNewKeyFrame (LocalMapping.cc:171-212)."""
+        touched = []
         for slot, mid in enumerate(kf.mp_ids):
             if mid < 0:
                 continue
@@ -107,10 +114,11 @@ class LocalMapping:
                 continue
             if kf.id not in mp.obs:
                 mp.add_observation(kf, slot)
-                mp.update_normal_and_depth(m)
+                touched.append(mp)
             else:
                 # Can only happen for fresh stereo points from Tracking.
                 self.recent_points.append(mp)
+        update_normals_batch(touched, m)
         kf.update_connections(m)
         m.add_keyframe(kf)
 
@@ -169,102 +177,97 @@ class LocalMapping:
         uv1 = np.stack([kf1.pts[a] for (_, a, _) in cand])
         uv2 = np.stack([kf2.pts[b] for (kf2, _, b) in cand])
 
-        # Batch triangulation: vmap over per-pair P2 (stack to (C,3,4)).
+        # One padded device batch for every candidate pair of every neighbor
+        # (bucketed shapes: a handful of compiles total, not one per KF).
         P2s = np.stack(P2s)
-        C = len(cand)
-        X = np.zeros((C, 3))
-        # triangulate() takes fixed P1/P2; loop over unique P2 groups instead:
-        # group candidate indices by neighbor KF for batched calls.
-        from collections import defaultdict
+        X = triangulate_pairs_padded(P1, P2s, uv1, uv2).astype(np.float64)
 
-        groups = defaultdict(list)
-        for i, (kf2, _, _) in enumerate(cand):
-            groups[kf2.id].append(i)
-        for kf2_id, idxs in groups.items():
-            idxs = np.array(idxs)
-            Xg = np.asarray(
-                triangulate(
-                    jnp.asarray(P1, jnp.float32),
-                    jnp.asarray(P2s[idxs[0]], jnp.float32),
-                    jnp.asarray(uv1[idxs], jnp.float32),
-                    jnp.asarray(uv2[idxs], jnp.float32),
-                )
+        C = len(cand)
+        s1_arr = np.fromiter((a for (_, a, _) in cand), np.int64, C)
+        s2_arr = np.fromiter((b for (_, _, b) in cand), np.int64, C)
+        R2_arr = np.stack([kf2.R for (kf2, _, _) in cand])
+        t2_arr = np.stack([kf2.t for (kf2, _, _) in cand])
+        Ow2_arr = np.einsum("cij,cj->ci", -R2_arr.transpose(0, 2, 1), t2_arr)
+
+        # Stereo mode: prefer stereo unprojection when the stereo parallax
+        # beats the motion parallax (LocalMapping.cc:341-393) — low-baseline
+        # mono triangulation of far points is depth-biased. Vectorized.
+        if not self.monocular:
+            z1s = (
+                kf1.depth_right[s1_arr]
+                if kf1.depth_right is not None
+                else np.full(C, -1.0)
             )
-            X[idxs] = Xg
+            z2s = np.array(
+                [
+                    kf2.depth_right[b] if kf2.depth_right is not None else -1.0
+                    for (kf2, _, b) in cand
+                ]
+            )
+            cps1 = np.where(z1s > 0, np.cos(2 * np.arctan2(self.stereo_b / 2, z1s)), 2.0)
+            cps2 = np.where(z2s > 0, np.cos(2 * np.arctan2(self.stereo_b / 2, z2s)), 2.0)
+            use1 = (z1s > 0) & (cps1 <= cps2)
+            use2 = (z2s > 0) & (cps2 < cps1) & ~use1
+            pc1 = np.stack(
+                [
+                    (uv1[:, 0] - cam.cx) * z1s / cam.fx,
+                    (uv1[:, 1] - cam.cy) * z1s / cam.fy,
+                    z1s,
+                ],
+                axis=1,
+            )
+            X1 = (pc1 - kf1.t) @ kf1.R  # R^T (pc - t), row-wise
+            pc2 = np.stack(
+                [
+                    (uv2[:, 0] - cam.cx) * z2s / cam.fx,
+                    (uv2[:, 1] - cam.cy) * z2s / cam.fy,
+                    z2s,
+                ],
+                axis=1,
+            )
+            X2 = np.einsum("cji,cj->ci", R2_arr, pc2 - t2_arr)
+            X = np.where(use1[:, None], X1, np.where(use2[:, None], X2, X))
+
+        # Vectorized gates (depth, reprojection <= delta, distances, far).
+        finite = np.isfinite(X).all(axis=1)
+        z1 = X @ R1[2] + t1[2]
+        pc2_all = np.einsum("cij,cj->ci", R2_arr, X) + t2_arr
+        z2 = pc2_all[:, 2]
+        pc1_all = X @ R1.T + t1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u1 = cam.fx * pc1_all[:, 0] / pc1_all[:, 2] + cam.cx
+            v1 = cam.fy * pc1_all[:, 1] / pc1_all[:, 2] + cam.cy
+            u2 = cam.fx * pc2_all[:, 0] / z2 + cam.cx
+            v2 = cam.fy * pc2_all[:, 1] / z2 + cam.cy
+        e1 = (u1 - uv1[:, 0]) ** 2 + (v1 - uv1[:, 1]) ** 2
+        e2 = (u2 - uv2[:, 0]) ** 2 + (v2 - uv2[:, 1]) ** 2
+        d1 = np.linalg.norm(X - Ow1, axis=1)
+        d2 = np.linalg.norm(X - Ow2_arr, axis=1)
+        good = (
+            finite
+            & (z1 > 0) & (z2 > 0)
+            & (e1 <= REPROJ_TRI) & (e2 <= REPROJ_TRI)
+            & (d1 > 0) & (d2 > 0)
+        )
+        if self.far_points:
+            good &= (d1 < self.th_far_points) & (d2 < self.th_far_points)
 
         created = 0
-        for i, (kf2, s1_, s2_) in enumerate(cand):
-            x3d = X[i].astype(np.float64)
-
-            # Stereo mode: prefer stereo unprojection when the stereo
-            # parallax beats the motion parallax (LocalMapping.cc:341-393) —
-            # low-baseline mono triangulation of far points is depth-biased.
-            if not self.monocular:
-                z1s = kf1.depth_right[s1_] if kf1.depth_right is not None else -1
-                z2s = kf2.depth_right[s2_] if kf2.depth_right is not None else -1
-                bs1 = z1s > 0
-                bs2 = z2s > 0
-                cps1 = np.cos(2 * np.arctan2(self.stereo_b / 2, z1s)) if bs1 else 2.0
-                cps2 = np.cos(2 * np.arctan2(self.stereo_b / 2, z2s)) if bs2 else 2.0
-                if bs1 and cps1 <= cps2:
-                    uv_ = kf1.pts[s1_]
-                    pc = np.array(
-                        [
-                            (uv_[0] - cam.cx) * z1s / cam.fx,
-                            (uv_[1] - cam.cy) * z1s / cam.fy,
-                            z1s,
-                        ]
-                    )
-                    x3d = kf1.R.T @ (pc - kf1.t)
-                elif bs2 and cps2 < cps1:
-                    uv_ = kf2.pts[s2_]
-                    R2_, t2_ = kf2.pose()
-                    pc = np.array(
-                        [
-                            (uv_[0] - cam.cx) * z2s / cam.fx,
-                            (uv_[1] - cam.cy) * z2s / cam.fy,
-                            z2s,
-                        ]
-                    )
-                    x3d = R2_.T @ (pc - t2_)
-                # else: both mono -> keep the triangulated solution
-
-            if not np.all(np.isfinite(x3d)):
-                continue
-            R2, t2 = kf2.pose()
-            z1 = R1[2] @ x3d + t1[2]
-            z2 = R2[2] @ x3d + t2[2]
-            if z1 <= 0 or z2 <= 0:
-                continue
-            # Reprojection gates (err^2 <= delta, LocalMapping.cc:416-463).
-            ok = True
-            for (R_, t_, z_, uv_) in ((R1, t1, z1, uv1[i]), (R2, t2, z2, uv2[i])):
-                pc = R_ @ x3d + t_
-                u = cam.fx * pc[0] / pc[2] + cam.cx
-                v = cam.fy * pc[1] / pc[2] + cam.cy
-                if (u - uv_[0]) ** 2 + (v - uv_[1]) ** 2 > REPROJ_TRI:
-                    ok = False
-                    break
-            if not ok:
-                continue
-            d1 = np.linalg.norm(x3d - Ow1)
-            d2 = np.linalg.norm(x3d - kf2.center())
-            if d1 == 0 or d2 == 0:
-                continue
-            if self.far_points and (d1 >= self.th_far_points or d2 >= self.th_far_points):
-                continue
+        new_mps = []
+        for i in np.flatnonzero(good):
+            kf2, s1_, s2_ = cand[i]
             if kf1.mp_ids[s1_] >= 0 or kf2.mp_ids[s2_] >= 0:
                 continue  # claimed by an earlier pair this round
-            track_id = int(kf2.track_ids[s2_])
-            mp = MapPoint(x3d, kf1.id, track_id, m.id)
-            mp.add_observation(kf1, s1_)
-            mp.add_observation(kf2, s2_)
-            kf1.add_mappoint(mp, s1_)
-            kf2.add_mappoint(mp, s2_)
+            mp = MapPoint(X[i], kf1.id, int(kf2.track_ids[s2_]), m.id)
+            mp.add_observation(kf1, int(s1_))
+            mp.add_observation(kf2, int(s2_))
+            kf1.add_mappoint(mp, int(s1_))
+            kf2.add_mappoint(mp, int(s2_))
             m.add_mappoint(mp)
-            mp.update_normal_and_depth(m)
             self.recent_points.append(mp)
+            new_mps.append(mp)
             created += 1
+        update_normals_batch(new_mps, m)
         return created
 
     def _search_in_neighbors(self, m):
@@ -298,11 +301,11 @@ class LocalMapping:
                         fuse_candidates[mid] = mp
         fuse(kf1, list(fuse_candidates.values()), m, self.camera)
 
-        for mid in kf1.mp_ids:
-            if mid >= 0:
-                mp = m.mappoints.get(int(mid))
-                if mp is not None and not mp.bad:
-                    mp.update_normal_and_depth(m)
+        refresh = [
+            mp for mp in (m.mappoints.get(int(mid)) for mid in kf1.mp_ids if mid >= 0)
+            if mp is not None and not mp.bad
+        ]
+        update_normals_batch(refresh, m)
         kf1.update_connections(m)
 
     # --- local bundle adjustment -------------------------------------------
@@ -340,8 +343,14 @@ class LocalMapping:
 
         kfs = local + fixed
         K = MAX_OPT_KF + MAX_FIX_KF
-        P = MAX_BA_MP
-        O = MAX_BA_OBS
+        # Bucketed problem sizes: pad to the next power of two so XLA keeps a
+        # handful of compiled variants while small maps move small arrays.
+        def _bucket(n, lo, hi):
+            b = lo
+            while b < n and b < hi:
+                b *= 2
+            return b
+        P = _bucket(len(mps), 512, MAX_BA_MP)
 
         kf_index = {kf.id: i for i, kf in enumerate(kfs)}
         mp_index = {mp.id: j for j, mp in enumerate(mps)}
@@ -366,14 +375,23 @@ class LocalMapping:
         # --- vectorized observation assembly (the per-KF slot arrays are the
         # ground truth; no per-observation Python loops) -----------------
         mp_id_arr = np.fromiter((mp.id for mp in mps), np.int64, len(mps))
-        mp_lookup = {int(mid): j for j, mid in enumerate(mp_id_arr)}
+        sort_perm = np.argsort(mp_id_arr)
+        sorted_ids = mp_id_arr[sort_perm]
+
+        def lookup(mids):
+            """Vectorized id -> local index (-1 if absent)."""
+            pos = np.searchsorted(sorted_ids, mids)
+            pos_c = np.minimum(pos, len(sorted_ids) - 1)
+            ok = sorted_ids[pos_c] == mids
+            return np.where(ok, sort_perm[pos_c], -1)
+
         blocks = []  # (kf_idx arr, mp_idx arr, uv arr, ur arr, slot arr)
         for i, kf in enumerate(kfs):
             slots = np.flatnonzero(kf.mp_ids >= 0)
             if len(slots) == 0:
                 continue
             mids = kf.mp_ids[slots]
-            j_idx = np.array([mp_lookup.get(int(mid), -1) for mid in mids])
+            j_idx = lookup(mids)
             keep = j_idx >= 0
             slots = slots[keep]
             j_idx = j_idx[keep]
@@ -411,8 +429,11 @@ class LocalMapping:
         keep_sorted = within < MOPP
         # Point-major selection for the total cap: complete points survive,
         # rather than silently dropping all observations of later keyframes.
-        sel = order[keep_sorted][:O]
+        sel = order[keep_sorted][:MAX_BA_OBS]
 
+        n_obs = len(sel)
+        O = _bucket(n_obs, 2048, MAX_BA_OBS)
+        sel = sel[:O]
         n_obs = len(sel)
         obs_kf = np.zeros(O, np.int32)
         obs_mp = np.zeros(O, np.int32)
@@ -441,14 +462,39 @@ class LocalMapping:
             obs_ur=jnp.asarray(obs_ur), bf=self.bf,
         )
 
-        chi2 = np.asarray(res["chi2"])
-        depth = np.asarray(res["depth"])
-        R_out = np.asarray(res["kf_R"], np.float64)
-        t_out = np.asarray(res["kf_t"], np.float64)
-        X_out = np.asarray(res["mp_pos"], np.float64)
+        # Pipelined commit: the solve was dispatched asynchronously; results
+        # are pulled and written back when the NEXT keyframe arrives (or at
+        # shutdown), hiding device latency behind the tracking of the frames
+        # in between — the TPU-native version of the reference's mapper
+        # thread overlapping the tracking thread (System.cc:129).
+        self._pending_ba = {
+            "res": res, "obs_meta": obs_meta, "kfs": kfs, "mps": mps,
+            "kf_fixed": kf_fixed, "map": m,
+        }
+
+    def _commit_pending_ba(self):
+        pending = getattr(self, "_pending_ba", None)
+        if pending is None:
+            return
+        self._pending_ba = None
+        res = pending["res"]
+        kfs, mps = pending["kfs"], pending["mps"]
+        kf_fixed = pending["kf_fixed"]
+        m = pending["map"]
+        if m is not self.atlas.current:
+            return  # map was reset/switched since launch
+
+        res_h = jax.device_get(
+            {k: res[k] for k in ("chi2", "depth", "kf_R", "kf_t", "mp_pos")}
+        )
+        chi2 = res_h["chi2"]
+        depth = res_h["depth"]
+        R_out = res_h["kf_R"].astype(np.float64)
+        t_out = res_h["kf_t"].astype(np.float64)
+        X_out = res_h["mp_pos"].astype(np.float64)
 
         # Prune bad observations (chi2 > 5 or negative depth).
-        o_kf, o_mp, o_slot = obs_meta
+        o_kf, o_mp, o_slot = pending["obs_meta"]
         bad_o = np.flatnonzero(
             (chi2[: len(o_kf)] > CHI2_PRUNE) | (depth[: len(o_kf)] <= 0)
         )
@@ -462,11 +508,13 @@ class LocalMapping:
 
         # Write back.
         for i, kf in enumerate(kfs):
-            if not kf_fixed[i]:
+            if not kf_fixed[i] and not kf.bad:
                 kf.set_pose(R_out[i], t_out[i])
+        alive = []
         for j, mp in enumerate(mps):
             if not mp.bad:
                 mp.pos = X_out[j]
-                mp.update_normal_and_depth(m)
+                alive.append(mp)
+        update_normals_batch(alive, m)
 
         m.bump_change()

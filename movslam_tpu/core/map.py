@@ -123,6 +123,61 @@ class MapPoint:
         other.update_normal_and_depth(mp_map)
 
 
+def update_normals_batch(mps, mp_map):
+    """Batched MapPoint::UpdateNormalAndDepth over a list of points.
+
+    One flat (observation-pair) numpy pass instead of per-point/per-obs
+    Python math — used by the mapper stages where hundreds of points update
+    at once."""
+    mps = [mp for mp in mps if not mp.bad and mp.obs]
+    if not mps:
+        return
+    kfs = mp_map.keyframes
+
+    pair_mp, pair_kf, ref_kf = [], [], []
+    for j, mp in enumerate(mps):
+        ref = None
+        for kf_id in mp.obs:
+            pair_mp.append(j)
+            pair_kf.append(kf_id)
+            if ref is None or kf_id == mp.first_kf_id:
+                ref = kf_id
+        ref_kf.append(ref)
+
+    uniq_kf = {k: i for i, k in enumerate(dict.fromkeys(pair_kf))}
+    centers = np.full((len(uniq_kf), 3), np.nan)
+    for k, i in uniq_kf.items():
+        kf = kfs.get(k)
+        if kf is not None:
+            centers[i] = kf.center()
+
+    pm = np.asarray(pair_mp)
+    pk = np.fromiter((uniq_kf[k] for k in pair_kf), np.int64, len(pair_kf))
+    pos = np.stack([mp.pos for mp in mps])
+
+    d = pos[pm] - centers[pk]
+    nn = np.linalg.norm(d, axis=1)
+    ok = np.isfinite(nn) & (nn > 1e-9)
+    dirs = np.where(ok[:, None], d / np.maximum(nn, 1e-12)[:, None], 0.0)
+
+    acc = np.zeros((len(mps), 3))
+    cnt = np.zeros(len(mps))
+    np.add.at(acc, pm, dirs)
+    np.add.at(cnt, pm, ok.astype(float))
+
+    ref_idx = np.fromiter(
+        (uniq_kf[r] if r is not None else 0 for r in ref_kf), np.int64, len(mps)
+    )
+    ref_dist = np.linalg.norm(pos - centers[ref_idx], axis=1)
+
+    for j, mp in enumerate(mps):
+        if cnt[j] == 0 or not np.isfinite(ref_dist[j]):
+            continue
+        mp.normal = acc[j] / cnt[j]
+        mp.max_dist = ref_dist[j] * SCALE_FACTOR
+        mp.min_dist = mp.max_dist / (SCALE_FACTOR ** N_LEVELS)
+
+
 class KeyFrame:
     __slots__ = (
         "id", "frame_id", "timestamp", "R", "t", "track_ids", "pts", "desc",
@@ -233,20 +288,16 @@ class KeyFrame:
 
     def scene_median_depth(self, mp_map, q=2):
         """Median (q=2) depth of observed points in this KF's camera frame
-        (KeyFrame::ComputeSceneMedianDepth)."""
-        zs = []
-        r2 = self.R[2]
-        for mid in self.mp_ids:
-            if mid < 0:
-                continue
-            mp = mp_map.mappoints.get(int(mid))
-            if mp is None or mp.bad:
-                continue
-            zs.append(float(r2 @ mp.pos + self.t[2]))
-        if not zs:
+        (KeyFrame::ComputeSceneMedianDepth). Vectorized."""
+        mids = self.mp_ids[self.mp_ids >= 0]
+        if len(mids) == 0:
             return -1.0
-        zs.sort()
-        return zs[(len(zs) - 1) // q]
+        mps = mp_map.mappoints
+        pos = [mp.pos for mp in (mps.get(int(i)) for i in mids) if mp is not None and not mp.bad]
+        if not pos:
+            return -1.0
+        zs = np.sort(np.asarray(pos) @ self.R[2] + self.t[2])
+        return float(zs[(len(zs) - 1) // q])
 
     def set_bad(self, mp_map):
         self.bad = True

@@ -138,10 +138,15 @@ class System:
         ):
             reloc = self._build_reloc()
 
-        state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
+        import jax.numpy as jnp
+
+        img_dev = jnp.asarray(smv.im_gray)  # single upload, reused next frame
+        state = self.extractor.extract(
+            smv, self._prev_state, self._prev_img, reloc, img_dev=img_dev
+        )
         frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
         self._prev_state = state
-        self._prev_img = smv.im_gray
+        self._prev_img = img_dev
 
         self.mapper.tick()
         tr.grab_frame(frame)
@@ -196,7 +201,7 @@ class System:
         self._reset_requested = True
 
     def shutdown(self):
-        self.mapper.spin()
+        self.mapper.spin(final=True)
         if self.settings.save_atlas:
             self.save_atlas(self.settings.save_atlas)
 

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pnp import pnp_ransac
+from ..ops.pnp import pnp_ransac, pnp_ransac_fused
 from ..ops.twoview import reconstruct_two_views
 from ..ops.ba import ba_solve, build_obs_by_point
 from .frame import Frame
@@ -77,6 +77,8 @@ class Tracking:
         self.rel_lost = []
 
         self._pnp_key = jax.random.PRNGKey(7)
+        cam = settings.camera1
+        self._intr = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
 
     # ------------------------------------------------------------------
     def grab_frame(self, frame):
@@ -390,34 +392,34 @@ class Tracking:
                 self.last_frame.mappoints[i] = mp.replaced_by
 
     def _pose_optimization(self, frame, lost):
-        """Optimizer::PoseOptimization via batched device PnP."""
+        """Optimizer::PoseOptimization via batched device PnP.
+
+        Transfers are fused: one (N, 6) upload, one pytree pull — round
+        trips dominate per-frame latency on remote TPUs."""
         cam = self.camera
         slots = [i for i, mp in enumerate(frame.mappoints) if mp is not None]
         if len(slots) < 4:
             return 0
         cap = 2048
-        pw = np.zeros((cap, 3), np.float32)
-        uv = np.zeros((cap, 2), np.float32)
-        valid = np.zeros(cap, bool)
+        data = np.zeros((cap, 6), np.float32)
         n = min(len(slots), cap)
-        for k in range(n):
-            mp = frame.mappoints[slots[k]]
-            pw[k] = mp.pos
-            uv[k] = frame.pts[slots[k]]
-            valid[k] = True
+        data[:n, 0:3] = np.stack([frame.mappoints[s].pos for s in slots[:n]])
+        data[:n, 3:5] = frame.pts[slots[:n]]
+        data[:n, 5] = 1.0
 
         rep = (
             self.settings.reprojection_error_lost
             if lost
             else self.settings.reprojection_error
         )
-        R0 = frame.R if frame.pose_set else np.eye(3)
-        t0 = frame.t if frame.pose_set else np.zeros(3)
+        prior = np.zeros((4, 3), np.float32)
+        prior[:3] = frame.R if frame.pose_set else np.eye(3)
+        prior[3] = frame.t if frame.pose_set else 0.0
         self._pnp_key, key = jax.random.split(self._pnp_key)
-        res = pnp_ransac(
-            jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(valid),
-            cam.fx, cam.fy, cam.cx, cam.cy, key, float(rep),
-            jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+        res = jax.device_get(
+            pnp_ransac_fused(
+                jnp.asarray(data), jnp.asarray(prior), self._intr, key, float(rep)
+            )
         )
         if not bool(res["ok"]):
             return 0

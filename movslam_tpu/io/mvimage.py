@@ -96,6 +96,23 @@ class MotionVectorImage:
         self.n_kps += 1
         return k
 
+    def packed(self):
+        """Single-upload views: mv_pack (M, 8) f32 [delta(2) rect(4) dindx
+        valid] and kps_pack (K, 5) f32 [rect(4) valid] — one host->device
+        transfer each instead of six (tunnel round trips dominate per-frame
+        latency on remote TPUs)."""
+        M = self.mv_delta.shape[0]
+        mv_pack = np.zeros((M, 8), np.float32)
+        mv_pack[:, 0:2] = self.mv_delta
+        mv_pack[:, 2:6] = self.mv_rect
+        mv_pack[:, 6] = self.mv_dindx
+        mv_pack[: self.n_mvs, 7] = 1.0
+        K = self.kps_rect.shape[0]
+        kps_pack = np.zeros((K, 5), np.float32)
+        kps_pack[:, 0:4] = self.kps_rect
+        kps_pack[: self.n_kps, 4] = 1.0
+        return mv_pack, kps_pack
+
     @property
     def mv_valid(self):
         m = np.zeros((self.mv_delta.shape[0],), bool)

@@ -189,3 +189,16 @@ def pnp_ransac(
         "n_inliers": jnp.where(ok, n_out, 0),
         "ok": ok,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "gn_iters"))
+def pnp_ransac_fused(data, prior, intr, key, reproj_err, n_hyp=N_HYP, gn_iters=GN_ITERS):
+    """Fused-transfer PnP: one (N, 6) upload [pw(3) uv(2) valid], one (4, 3)
+    prior [R(3x3); t], one (4,) intrinsics [fx fy cx cy]."""
+    pw = data[:, 0:3]
+    uv = data[:, 3:5]
+    valid = data[:, 5] > 0
+    return pnp_ransac(
+        pw, uv, valid, intr[0], intr[1], intr[2], intr[3], key, reproj_err,
+        prior[:3], prior[3], n_hyp=n_hyp, gn_iters=gn_iters,
+    )

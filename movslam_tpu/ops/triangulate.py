@@ -36,6 +36,51 @@ def triangulate(P1, P2, x1, x2):
     return X[:, :3] / safe_w[:, None]
 
 
+def triangulate_pairs(P1, P2s, x1, x2):
+    """Triangulation with a per-pair second camera: P2s (N, 3, 4)."""
+    rows = [
+        x1[:, 0:1, None] * P1[None, 2:3] - P1[None, 0:1],
+        x1[:, 1:2, None] * P1[None, 2:3] - P1[None, 1:2],
+        x2[:, 0:1, None] * P2s[:, 2:3] - P2s[:, 0:1],
+        x2[:, 1:2, None] * P2s[:, 2:3] - P2s[:, 1:2],
+    ]
+    A = jnp.concatenate(rows, axis=1)  # (N, 4, 4)
+    AtA = jnp.einsum("nij,nik->njk", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[..., 0]
+    w = X[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[:, :3] / safe_w[:, None]
+
+
+_PAIR_BUCKETS = (128, 512, 2048, 8192)
+_pairs_jit = jax.jit(triangulate_pairs)
+
+
+def triangulate_pairs_padded(P1, P2s, x1, x2):
+    """Host helper: pad the batch to a fixed bucket size so XLA compiles a
+    handful of shapes instead of one per candidate count (the mapper calls
+    this with a different N every keyframe)."""
+    import numpy as np
+
+    n = x1.shape[0]
+    if n == 0:
+        return np.zeros((0, 3), np.float32)
+    cap = next((b for b in _PAIR_BUCKETS if b >= n), _PAIR_BUCKETS[-1])
+    n = min(n, cap)
+
+    def pad(a):
+        out = np.zeros((cap,) + a.shape[1:], np.float32)
+        out[:n] = a[:n]
+        return out
+
+    X = _pairs_jit(
+        jnp.asarray(P1, jnp.float32), jnp.asarray(pad(P2s)),
+        jnp.asarray(pad(x1)), jnp.asarray(pad(x2)),
+    )
+    return np.asarray(X)[:n]
+
+
 def triangulate_rays(R21, t21, r1, r2):
     """Triangulate from normalized rays with camera1 at identity.
 
