@@ -38,6 +38,18 @@ from .mvselect import N_CAND, candidate_mvs, point_covered
 ACCEPT_HAMMING = 40  # MOVExtractor.cc:316
 MIN_SEED_COUNT = 60  # MOVExtractor.cc:418 fallback gate
 
+import os
+
+
+def _use_pallas_score():
+    """Pallas candidate scoring: on for TPU backends (bit-exact, faster),
+    off elsewhere (the CPU interpreter is slow). Override with
+    MOVSLAM_PALLAS=0/1."""
+    env = os.environ.get("MOVSLAM_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
 
 def priority_rank(valid, age, desc):
     """Rank tracks by (age desc, descriptor popcount desc); invalid last.
@@ -102,9 +114,20 @@ def propagate_mv_tracks(
     cand_inb = _block_inbounds(cand_pt, prev_wh[:, None, :], W, H)  # (N, 4)
 
     tl = cand_pt.astype(jnp.int32).reshape(-1, 2) - express.BLOCK // 2
-    blocks = express.gather_blocks(imgf, tl)  # (N*4, 16, 16)
-    cand_desc = express.compute_descriptor(blocks, threshold).reshape(N, N_CAND, 8)
-    cand_dist = hamming(prev_desc[:, None, :], cand_desc)  # (N, 4)
+    if _use_pallas_score():
+        # Fused Pallas kernel: band DMA + one-hot selection matmuls +
+        # descriptor pack + popcount; bit-exact with the XLA path and
+        # measured faster on v5e (ops/pallas_kernels.py).
+        from .pallas_kernels import score_blocks
+
+        prev_rep = jnp.repeat(prev_desc, N_CAND, axis=0)  # (N*4, 8)
+        dist_flat, desc_flat = score_blocks(img, tl, prev_rep, threshold)
+        cand_desc = desc_flat.reshape(N, N_CAND, 8)
+        cand_dist = dist_flat.reshape(N, N_CAND)
+    else:
+        blocks = express.gather_blocks(imgf, tl)  # (N*4, 16, 16)
+        cand_desc = express.compute_descriptor(blocks, threshold).reshape(N, N_CAND, 8)
+        cand_dist = hamming(prev_desc[:, None, :], cand_desc)  # (N, 4)
 
     # Invalid/out-of-bounds candidates never win the argmin (dist -> inf);
     # the reference keeps slot-0 if nothing scores strictly below 256.
