@@ -19,6 +19,8 @@ from ..ops.ba import ba_solve, build_obs_by_point
 from ..ops.triangulate import triangulate, triangulate_pairs_padded
 from .map import KeyFrame, MapPoint, update_normals_batch
 from .matcher import fuse, search_for_triangulation
+import threading
+import time as _time
 
 # LBA capacities (padded; one compile). Local KFs beyond the cap are dropped
 # by covisibility weight — the reference has no cap but covis threshold 15
@@ -55,6 +57,13 @@ class LocalMapping:
         # the culling gate. cooldown counts frames until idle again.
         self.cooldown = 0
         self.busy_frames = 0  # 0 = keyframe whenever the mapper is idle (fast-mapper behavior)
+        # Threaded mode (reference LocalMapping thread, System.cc:129):
+        # Tracking and the mapper share map_lock (the reference's
+        # mMutexMapUpdate, Map.h:137); device waits happen outside it.
+        self.map_lock = threading.RLock()
+        self._thread = None
+        self._finish = False
+        self._processing = False
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
@@ -68,37 +77,70 @@ class LocalMapping:
             self.cooldown -= 1
 
     def is_idle(self):
-        return len(self.queue) == 0 and self.cooldown == 0
+        return len(self.queue) == 0 and self.cooldown == 0 and not self._processing
+
+    # --- threaded mode (reference LocalMapping::Run, LocalMapping.cc:50-115)
+    def start_thread(self):
+        if self._thread is not None:
+            return
+        self._finish = False
+        self._thread = threading.Thread(target=self._run_loop, daemon=True)
+        self._thread.start()
+
+    def _run_loop(self):
+        while not self._finish:
+            if self.queue:
+                self._processing = True
+                try:
+                    self.process_one()
+                finally:
+                    self._processing = False
+            else:
+                _time.sleep(0.0005)  # reference polls at 500 us
+
+    def wait_idle(self, timeout=60.0):
+        """Block until the mapper thread drains its queue (init barriers)."""
+        t0 = _time.time()
+        while (self.queue or self._processing) and _time.time() - t0 < timeout:
+            _time.sleep(0.001)
+
+    def stop_thread(self):
+        if self._thread is None:
+            return
+        self._finish = True
+        self._thread.join(timeout=30)
+        self._thread = None
+        self.spin(final=True)
 
     def spin(self, final=False):
-        """Process everything queued (synchronous drive; the threaded mode
-        calls this in a loop). final=True also commits the in-flight BA."""
+        """Drain the queue inline. Safe in both modes: the pop and all graph
+        mutation happen under the reentrant map lock, so the worker thread
+        simply contends rather than double-popping. final=True also commits
+        the in-flight BA."""
         while self.queue:
             self.process_one()
         if final:
             self._commit_pending_ba()
 
     def process_one(self):
-        if not self.queue:
-            return
         # Commit the previous keyframe's bundle adjustment first: it was
         # launched asynchronously and has been overlapping with tracking.
         self._commit_pending_ba()
-        kf = self.queue.pop(0)
-        self.current_kf = kf
-        m = self.atlas.current
-
-        self._process_new_keyframe(kf, m)
-        self._map_point_culling(m)
-        self._create_new_map_points(m)
-        if not self.queue:
-            self._search_in_neighbors(m)
+        with self.map_lock:
+            if not self.queue:
+                return
+            kf = self.queue.pop(0)
+            self.current_kf = kf
+            m = self.atlas.current
+            self._process_new_keyframe(kf, m)
+            self._map_point_culling(m)
+            self._create_new_map_points(m)
+            if not self.queue:
+                self._search_in_neighbors(m)
         if not self.queue and m.n_keyframes() > 2:
-            import time
-
-            t0 = time.perf_counter()
-            self._local_ba(m)
-            self.lba_ms.append(1e3 * (time.perf_counter() - t0))
+            t0 = _time.perf_counter()
+            self._local_ba(m)  # async dispatch; writeback at next commit
+            self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
             self.lba_count += 1
 
     # --- stages -----------------------------------------------------------
@@ -484,6 +526,8 @@ class LocalMapping:
         if m is not self.atlas.current:
             return  # map was reset/switched since launch
 
+        # Device wait happens OUTSIDE the map lock (the pull blocks until
+        # the solve finishes); only the graph writeback is locked.
         res_h = jax.device_get(
             {k: res[k] for k in ("chi2", "depth", "kf_R", "kf_t", "mp_pos")}
         )
@@ -493,6 +537,7 @@ class LocalMapping:
         t_out = res_h["kf_t"].astype(np.float64)
         X_out = res_h["mp_pos"].astype(np.float64)
 
+        self.map_lock.acquire()
         # Prune bad observations (chi2 > 5 or negative depth).
         o_kf, o_mp, o_slot = pending["obs_meta"]
         bad_o = np.flatnonzero(
@@ -518,3 +563,4 @@ class LocalMapping:
         update_normals_batch(alive, m)
 
         m.bump_change()
+        self.map_lock.release()

@@ -31,7 +31,8 @@ class System:
     STEREO = STEREO
 
     def __init__(self, settings_file, sensor=MONOCULAR, use_viewer=False,
-                 init_frame=0, sequence="", video_tracking=True):
+                 init_frame=0, sequence="", video_tracking=True,
+                 async_mapping=False):
         self.settings = (
             settings_file
             if isinstance(settings_file, Settings)
@@ -63,6 +64,10 @@ class System:
 
         self.image_count = 0
         self.track_ms = []
+
+        self.async_mapping = async_mapping
+        if async_mapping:
+            self.mapper.start_thread()
 
         self.viewer = None
         if use_viewer:
@@ -201,6 +206,8 @@ class System:
         self._reset_requested = True
 
     def shutdown(self):
+        if self.async_mapping:
+            self.mapper.stop_thread()
         self.mapper.spin(final=True)
         if self.settings.save_atlas:
             self.save_atlas(self.settings.save_atlas)
@@ -214,6 +221,24 @@ class System:
 
     def mean_track_ms(self):
         return float(np.mean(self.track_ms)) if self.track_ms else 0.0
+
+    def get_timings(self):
+        """Per-stage timing summary (ms): the REGISTER_TIMES equivalent
+        (reference include/Tracking.h:165-178, LocalMapping.h:107-123)."""
+        def stats(xs):
+            if not xs:
+                return {"n": 0}
+            a = np.asarray(xs)
+            return {
+                "n": len(a), "mean": float(a.mean()),
+                "p50": float(np.percentile(a, 50)),
+                "p95": float(np.percentile(a, 95)),
+            }
+
+        out = {k: stats(v) for k, v in self.tracking.timings.items()}
+        out["frame_total"] = stats(self.track_ms)
+        out["local_ba"] = stats(self.mapper.lba_ms)
+        return out
 
     # --- savers ------------------------------------------------------------
     def save_keyframe_trajectory_kitti(self, filename):

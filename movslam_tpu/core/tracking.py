@@ -80,9 +80,22 @@ class Tracking:
         cam = settings.camera1
         self._intr = jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
 
+        # REGISTER_TIMES-style per-stage durations (ms), always on
+        # (the reference gates these behind a compile flag,
+        # include/Tracking.h:165-178).
+        self.timings = {
+            "track_ref_kf": [], "track_local_map": [], "pose_opt": [],
+            "new_kf": [],
+        }
+
     # ------------------------------------------------------------------
     def grab_frame(self, frame):
-        """Run Track() on a prepared Frame (Tracking::Track)."""
+        """Run Track() on a prepared Frame (Tracking::Track). Holds the map
+        lock for the whole step like the reference (Tracking.cc:274)."""
+        with self.mapper.map_lock:
+            return self._grab_frame_locked(frame)
+
+    def _grab_frame_locked(self, frame):
         self.current = frame
         m = self.atlas.current
 
@@ -436,6 +449,14 @@ class Tracking:
 
     def _track_reference_keyframe(self):
         """Tracking::TrackReferenceKeyFrame (Tracking.cc:796-814)."""
+        import time as _t
+        _t0 = _t.perf_counter()
+        try:
+            return self._track_reference_keyframe_inner()
+        finally:
+            self.timings["track_ref_kf"].append(1e3 * (_t.perf_counter() - _t0))
+
+    def _track_reference_keyframe_inner(self):
         if self.reference_kf is None:
             return False
         m = self.atlas.current
@@ -457,6 +478,14 @@ class Tracking:
 
     def _track_local_map(self):
         """Tracking::TrackLocalMap (Tracking.cc:890-945)."""
+        import time as _t
+        _t0 = _t.perf_counter()
+        try:
+            return self._track_local_map_inner()
+        finally:
+            self.timings["track_local_map"].append(1e3 * (_t.perf_counter() - _t0))
+
+    def _track_local_map_inner(self):
         self.tracked_frames += 1
         self._update_local_keyframes()
         self._update_local_points()
@@ -613,6 +642,12 @@ class Tracking:
 
     def _create_new_keyframe(self):
         """Tracking::CreateNewKeyFrame (Tracking.cc:993-1107)."""
+        import time as _t
+        _t0 = _t.perf_counter()
+        self._create_new_keyframe_inner()
+        self.timings["new_kf"].append(1e3 * (_t.perf_counter() - _t0))
+
+    def _create_new_keyframe_inner(self):
         m = self.atlas.current
         kf = KeyFrame(self.current, m.id)
         self.reference_kf = kf

@@ -1,0 +1,122 @@
+"""System-level features: checkpoint round-trip, loss recovery, timings,
+viewer rendering, threaded mapper."""
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from movslam_tpu.config.settings import Settings, MONOCULAR
+from movslam_tpu.core.camera import Pinhole
+from movslam_tpu.core.system import System
+from movslam_tpu.core.tracking import State
+from movslam_tpu.io.mvimage import MotionVectorImage
+from movslam_tpu.io.synthetic import SyntheticStream
+
+
+def _settings():
+    s = Settings()
+    s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
+    s.fps = 30.0
+    s.sensor = MONOCULAR
+    return s
+
+
+def _run(system, stream, n, start=0):
+    for k in range(start, start + n):
+        smv = stream.frame(k)
+        system.track_monocular(smv.timestamp, smv)
+
+
+def test_atlas_checkpoint_roundtrip():
+    stream = SyntheticStream(n_points=300, seed=21)
+    system = System(_settings(), MONOCULAR)
+    _run(system, stream, 15)
+    system.shutdown()
+    m = system.atlas.current
+    n_kfs, n_mps = m.n_keyframes(), m.n_mappoints()
+    assert n_kfs > 3 and n_mps > 100
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "session.atlas")
+        system.save_atlas(path)
+
+        from movslam_tpu.core.checkpoint import load_atlas
+
+        atlas2 = load_atlas(path)
+        m2 = atlas2.current
+        assert m2.n_keyframes() == n_kfs
+        assert m2.n_mappoints() == n_mps
+        # Graph links restored: observations point at existing KFs/slots.
+        for mp in list(m2.mappoints.values())[:50]:
+            for kf_id, slot in mp.obs.items():
+                kf = m2.keyframes.get(kf_id)
+                assert kf is not None
+                assert kf.mp_ids[slot] == mp.id
+        # Poses identical.
+        for kf_id, kf in m.keyframes.items():
+            np.testing.assert_allclose(m2.keyframes[kf_id].R, kf.R)
+
+
+def test_tracking_loss_recovery_creates_map_or_recovers():
+    """Feed garbage frames mid-stream: tracking must not crash and must
+    either recover on the old map or start a new Atlas map
+    (Tracking.cc:362-381 semantics)."""
+    stream = SyntheticStream(n_points=300, seed=22)
+    system = System(_settings(), MONOCULAR)
+    _run(system, stream, 16)  # enough KFs (>10) for RECENTLY_LOST path
+    assert system.tracking.state == State.OK
+    n_maps_before = len(system.atlas.maps)
+
+    # 8 featureless frames (MV-free, flat) -> certain loss.
+    rngloc = np.random.default_rng(0)
+    for k in range(16, 24):
+        smv = MotionVectorImage.empty(640, 480)
+        smv.timestamp = k / 30.0
+        smv.im_gray = rngloc.integers(100, 110, (480, 640)).astype(np.uint8)
+        system.track_monocular(smv.timestamp, smv)
+
+    assert system.tracking.state in (State.RECENTLY_LOST, State.LOST,
+                                     State.NO_IMAGES_YET, State.NOT_INITIALIZED)
+    # lost counting depends on whether the map was reset (small maps)
+    # or a new Atlas map was spawned; both are valid recoveries.
+
+    # Resume the real stream: system keeps running (new map or recovery).
+    _run(system, stream, 15, start=24)
+    st = system.tracking.state
+    assert st in (State.OK, State.NOT_INITIALIZED, State.RECENTLY_LOST)
+    assert len(system.atlas.maps) >= n_maps_before
+
+
+def test_timings_populated():
+    stream = SyntheticStream(n_points=300, seed=23)
+    system = System(_settings(), MONOCULAR)
+    _run(system, stream, 8)
+    t = system.get_timings()
+    assert t["frame_total"]["n"] == 8
+    assert t["track_local_map"]["n"] >= 3
+    assert t["local_ba"]["n"] >= 1
+    assert t["frame_total"]["mean"] > 0
+
+
+def test_viewer_renders():
+    stream = SyntheticStream(n_points=300, seed=24)
+    system = System(_settings(), MONOCULAR, use_viewer=True)
+    _run(system, stream, 6)
+    img = system.viewer.last_frame_render
+    assert img is not None and img.shape == (480, 640, 3)
+    top = system.viewer.draw_map()
+    assert top.shape[2] == 3
+
+
+def test_async_mapping_thread():
+    """Threaded LocalMapping (reference 3-thread topology): same pipeline,
+    mapper on a background thread with the map lock."""
+    stream = SyntheticStream(n_points=300, seed=25)
+    system = System(_settings(), MONOCULAR, async_mapping=True)
+    _run(system, stream, 15)
+    system.shutdown()
+    assert system.tracking.state == State.OK
+    m = system.atlas.current
+    assert m.n_keyframes() >= 4
+    assert m.n_mappoints() > 100
