@@ -64,6 +64,7 @@ class LocalMapping:
         self._thread = None
         self._finish = False
         self._processing = False
+        self.enable_merge = True
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
@@ -142,6 +143,21 @@ class LocalMapping:
             self._local_ba(m)  # async dispatch; writeback at next commit
             self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
             self.lba_count += 1
+
+        # Multi-map welding: when tracking loss spawned a new map and enough
+        # shared tracks exist, merge it back (Sim3 + pose-graph relaxation) —
+        # the recovery completion the reference leaves undone (SURVEY.md §5).
+        if (
+            self.enable_merge
+            and len(self.atlas.maps) > 1
+            and m.n_keyframes() >= 5
+            and m.n_keyframes() % 5 == 0
+        ):
+            from .map_merge import try_merge
+
+            with self.map_lock:
+                self._commit_pending_ba()
+                try_merge(self.atlas)
 
     # --- stages -----------------------------------------------------------
     def _process_new_keyframe(self, kf, m):
