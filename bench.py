@@ -40,7 +40,9 @@ def main():
     n_warm, n_timed = 15, 45
     frames = [stream.frame(k) for k in range(n_warm + n_timed)]
 
-    system = System(s, MONOCULAR)
+    # Threaded mapper (the reference topology): keyframe cadence adapts to
+    # real mapper latency instead of spawning one per frame.
+    system = System(s, MONOCULAR, async_mapping=True)
     for k in range(n_warm):
         system.track_monocular(frames[k].timestamp, frames[k])
 
@@ -48,6 +50,7 @@ def main():
     for k in range(n_warm, n_warm + n_timed):
         system.track_monocular(frames[k].timestamp, frames[k])
     dt = time.perf_counter() - t0
+    system.shutdown()
 
     fps = n_timed / dt
     lost = system.get_total_lost()

@@ -16,7 +16,8 @@ class Frame:
     __slots__ = (
         "id", "timestamp", "pts", "track_ids", "desc", "ages", "R", "t",
         "mappoints", "outlier", "image", "reference_kf", "lost", "pose_set",
-        "depth_right", "uright", "track_index",
+        "depth_right", "uright", "track_index", "cap_rows",
+        "_fused_matched", "_fused_inlier", "_fused_midx",
     )
 
     _next_id = itertools.count()
@@ -41,11 +42,13 @@ class Frame:
             self.track_ids = d["track_id"].astype(np.int64)
             self.desc = d["desc"]
             self.ages = d["age"]
+            self.cap_rows = d["rows"]  # compacted slot -> device capacity row
         else:
             self.pts = np.zeros((0, 2))
             self.track_ids = np.zeros((0,), np.int64)
             self.desc = np.zeros((0, 8), np.uint32)
             self.ages = np.zeros((0,), np.int32)
+            self.cap_rows = np.zeros((0,), np.int64)
 
         n = len(self.track_ids)
         self.mappoints = [None] * n
@@ -58,6 +61,34 @@ class Frame:
     @property
     def n(self):
         return len(self.track_ids)
+
+    @staticmethod
+    def from_packed(packed, timestamp=0.0, image=None, fid=None):
+        """Build from the fused frame program's single packed export
+        (ops/frame_step: pt(2) tid(1,i32 bits) age(1) desc(8,u32 bits)
+        match_idx(1) flags(1))."""
+        f = Frame(None, timestamp=timestamp, image=image, fid=fid)
+        flags = packed[:, 13].astype(np.int64)
+        valid = (flags & 4) != 0
+        rows = np.flatnonzero(valid)
+        sel = packed[rows]
+        f.pts = sel[:, 0:2].astype(np.float64)
+        f.track_ids = np.ascontiguousarray(sel[:, 2], np.float32).view(np.int32).astype(np.int64)
+        f.ages = sel[:, 3].astype(np.int32)
+        f.desc = np.ascontiguousarray(sel[:, 4:12], np.float32).view(np.uint32)
+        f.cap_rows = rows
+        n = len(rows)
+        f.mappoints = [None] * n
+        f.outlier = np.zeros(n, bool)
+        f.track_index = {}
+        for i, tid in enumerate(f.track_ids):
+            f.track_index.setdefault(int(tid), i)
+        # per-slot fused results
+        fl = flags[rows]
+        f._fused_matched = (fl & 1) != 0
+        f._fused_inlier = (fl & 2) != 0
+        f._fused_midx = sel[:, 12].astype(np.int64)
+        return f
 
     def set_pose(self, R, t):
         self.R = np.asarray(R, np.float64)

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ba import ba_solve, build_obs_by_point
+from ..ops.ba import ba_solve, ba_solve_packed, build_obs_by_point
 from ..ops.triangulate import triangulate, triangulate_pairs_padded
 from .map import KeyFrame, MapPoint, update_normals_batch
 from .matcher import fuse, search_for_triangulation
@@ -286,6 +286,35 @@ class LocalMapping:
             X2 = np.einsum("cji,cj->ci", R2_arr, pc2 - t2_arr)
             X = np.where(use1[:, None], X1, np.where(use2[:, None], X2, X))
 
+        # Per-candidate parallax gate: rays must subtend enough angle or the
+        # triangulated depth is noise-dominated (the ORB-SLAM3 condition the
+        # reference comments out at LocalMapping.cc:363; without it a
+        # marginally-open baseline gate floods the map with far junk that
+        # poisons PnP and BA).
+        cam_ = cam
+        r1c = np.stack(
+            [
+                (uv1[:, 0] - cam_.cx) / cam_.fx,
+                (uv1[:, 1] - cam_.cy) / cam_.fy,
+                np.ones(C),
+            ],
+            axis=1,
+        )
+        r2c = np.stack(
+            [
+                (uv2[:, 0] - cam_.cx) / cam_.fx,
+                (uv2[:, 1] - cam_.cy) / cam_.fy,
+                np.ones(C),
+            ],
+            axis=1,
+        )
+        ray1 = r1c @ R1  # R1^T r, row-wise (world frame)
+        ray2 = np.einsum("cji,cj->ci", R2_arr, r2c)
+        cos_par = np.einsum("ci,ci->c", ray1, ray2) / (
+            np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1) + 1e-12
+        )
+        parallax_ok = cos_par < 0.9998  # ~> 1.15 deg
+
         # Vectorized gates (depth, reprojection <= delta, distances, far).
         finite = np.isfinite(X).all(axis=1)
         z1 = X @ R1[2] + t1[2]
@@ -303,6 +332,7 @@ class LocalMapping:
         d2 = np.linalg.norm(X - Ow2_arr, axis=1)
         good = (
             finite
+            & parallax_ok
             & (z1 > 0) & (z2 > 0)
             & (e1 <= REPROJ_TRI) & (e2 <= REPROJ_TRI)
             & (d1 > 0) & (d2 > 0)
@@ -509,15 +539,28 @@ class LocalMapping:
             np.where(obs_valid, obs_mp, P), P, MOPP, O
         )
 
-        res = ba_solve(
-            jnp.asarray(kf_R), jnp.asarray(kf_t),
-            jnp.asarray(kf_fixed), jnp.asarray(kf_valid),
-            jnp.asarray(mp_pos), jnp.asarray(mp_valid),
-            jnp.asarray(obs_kf), jnp.asarray(obs_mp),
-            jnp.asarray(obs_uv), jnp.asarray(obs_valid),
+        # Fused-transfer call: 4 uploads / 3 pulls instead of 11 / 5 —
+        # round trips dominate keyframe cost on remote TPUs.
+        kf_pack = np.zeros((K, 14), np.float32)
+        kf_pack[:, 0:9] = kf_R.reshape(K, 9)
+        kf_pack[:, 9:12] = kf_t
+        kf_pack[:, 12] = kf_fixed
+        kf_pack[:, 13] = kf_valid
+        mp_pack = np.zeros((P, 4), np.float32)
+        mp_pack[:, 0:3] = mp_pos
+        mp_pack[:, 3] = mp_valid
+        obs_pack = np.zeros((O, 6), np.float32)
+        obs_pack[:, 0] = obs_kf
+        obs_pack[:, 1] = obs_mp
+        obs_pack[:, 2:4] = obs_uv
+        obs_pack[:, 4] = obs_ur
+        obs_pack[:, 5] = obs_valid
+        cam = self.camera
+        res = ba_solve_packed(
+            jnp.asarray(kf_pack), jnp.asarray(mp_pack), jnp.asarray(obs_pack),
             jnp.asarray(obp),
-            self.camera.fx, self.camera.fy, self.camera.cx, self.camera.cy,
-            obs_ur=jnp.asarray(obs_ur), bf=self.bf,
+            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
+            self.bf,
         )
 
         # Pipelined commit: the solve was dispatched asynchronously; results
@@ -544,14 +587,15 @@ class LocalMapping:
 
         # Device wait happens OUTSIDE the map lock (the pull blocks until
         # the solve finishes); only the graph writeback is locked.
-        res_h = jax.device_get(
-            {k: res[k] for k in ("chi2", "depth", "kf_R", "kf_t", "mp_pos")}
-        )
-        chi2 = res_h["chi2"]
-        depth = res_h["depth"]
-        R_out = res_h["kf_R"].astype(np.float64)
-        t_out = res_h["kf_t"].astype(np.float64)
-        X_out = res_h["mp_pos"].astype(np.float64)
+        out_kf, out_mp, out_obs = res
+        out_kf = np.asarray(out_kf)
+        out_mp = np.asarray(out_mp)
+        out_obs = np.asarray(out_obs)
+        chi2 = out_obs[:, 0]
+        depth = out_obs[:, 1]
+        R_out = out_kf[:, 0:9].reshape(-1, 3, 3).astype(np.float64)
+        t_out = out_kf[:, 9:12].astype(np.float64)
+        X_out = out_mp.astype(np.float64)
 
         self.map_lock.acquire()
         # Prune bad observations (chi2 > 5 or negative depth).

@@ -61,6 +61,11 @@ class System:
         self._prev_state = None
         self._prev_img = None
         self._reset_requested = False
+        self._snapshot = None
+        self._snapshot_key = None
+        # Fused one-dispatch frame path (ops/frame_step); legacy per-stage
+        # path remains for init/loss states and as a fallback.
+        self.fused_frontend = True
 
         self.image_count = 0
         self.track_ms = []
@@ -124,6 +129,77 @@ class System:
             "track_ids": ids,
         }
 
+    def _refresh_snapshot(self):
+        """(Re)publish the device map snapshot when the reference KF or the
+        map version changed (once per keyframe, not per frame)."""
+        tr = self.tracking
+        m = self.atlas.current
+        if tr.reference_kf is None:
+            self._snapshot = None
+            return
+        key = (m.id, tr.reference_kf.id, m.change_index)
+        if self._snapshot is not None and self._snapshot_key == key:
+            return
+        from .snapshot import build_snapshot
+
+        with self.mapper.map_lock:
+            self._snapshot = build_snapshot(m, tr.reference_kf)
+        self._snapshot_key = key
+
+    def _track_monocular_fused(self, timestamp, smv, img_dev):
+        """One-dispatch frame path (ops/frame_step): OK-state frames only."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.frame_step import tracked_frame_step
+
+        tr = self.tracking
+        self._refresh_snapshot()
+        snap = self._snapshot
+        if snap is None:
+            return False
+
+        mv_pack, kps_pack = smv.packed()
+        tr._pnp_key, key = jax.random.split(tr._pnp_key)
+        out = tracked_frame_step(
+            img_dev,
+            self._prev_img,
+            self._prev_state,
+            jnp.asarray(mv_pack),
+            jnp.asarray(kps_pack),
+            jnp.asarray(smv.coverage_area, jnp.float32),
+            snap.tid_sorted, snap.perm, snap.pack,
+            jnp.asarray(tr.last_frame.R, jnp.float32),
+            jnp.asarray(tr.last_frame.t, jnp.float32),
+            tr._intr,
+            key,
+            float(self.settings.reprojection_error),
+            self.extractor.threshold,
+            self.extractor.coverage_threshold,
+            capacity=self.extractor.capacity,
+            max_cov=512,
+        )
+        state = out["state"]
+        # Three pulls total (device_get is one RPC per pytree LEAF on the
+        # remote TPU, so everything is packed into arrays).
+        packed = np.asarray(out["packed"])
+        scal = np.asarray(out["scalars"])
+        vis = np.asarray(out["snap_visible"])
+        frame = Frame.from_packed(
+            packed, timestamp=timestamp, image=smv.im_gray, fid=self.image_count
+        )
+        host_out = {
+            "R": scal[0:9].reshape(3, 3).astype(np.float64),
+            "t": scal[9:12].astype(np.float64),
+            "n_ref_inliers": int(scal[12]),
+            "n_inliers": int(scal[13]),
+            "ok": scal[14] > 0,
+            "snap_visible": vis,
+        }
+        self._prev_state = state
+        self.extractor._next_id_dev = state.next_id
+        tr.track_fused(frame, host_out, snap)
+        return True
+
     def track_monocular(self, timestamp, smv: MotionVectorImage):
         """System::TrackMonocular (System.cc:171-234). Returns (R, t) of the
         current camera-from-world pose or None while initializing/lost."""
@@ -132,34 +208,52 @@ class System:
 
         if self._reset_requested:
             self._prev_state = None
+            self._snapshot = None
             self._reset_requested = False
-
-        reloc = None
-        tr = self.tracking
-        if (
-            tr.last_frame is not None
-            and tr.last_frame.lost
-            and tr.state == State.RECENTLY_LOST
-        ):
-            reloc = self._build_reloc()
 
         import jax.numpy as jnp
 
+        tr = self.tracking
         img_dev = jnp.asarray(smv.im_gray)  # single upload, reused next frame
-        state = self.extractor.extract(
-            smv, self._prev_state, self._prev_img, reloc, img_dev=img_dev
-        )
-        frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
-        self._prev_state = state
-        self._prev_img = img_dev
 
-        self.mapper.tick()
-        tr.grab_frame(frame)
+        fused_done = False
+        if (
+            self.fused_frontend
+            and tr.state == State.OK
+            and self._prev_state is not None
+            and tr.last_frame is not None
+            and tr.last_frame.pose_set
+            and not tr.last_frame.lost
+            and smv.ft != 0  # P-frames only; I-frames take the LK path
+        ):
+            fused_done = self._track_monocular_fused(timestamp, smv, img_dev)
+            if fused_done:
+                self._prev_img = img_dev
+                self.mapper.tick()
+
+        if not fused_done:
+            reloc = None
+            if (
+                tr.last_frame is not None
+                and tr.last_frame.lost
+                and tr.state == State.RECENTLY_LOST
+            ):
+                reloc = self._build_reloc()
+
+            state = self.extractor.extract(
+                smv, self._prev_state, self._prev_img, reloc, img_dev=img_dev
+            )
+            frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
+            self._prev_state = state
+            self._prev_img = img_dev
+
+            self.mapper.tick()
+            tr.grab_frame(frame)
 
         self.image_count += 1
         self.track_ms.append(1e3 * (time.perf_counter() - t0))
-        if self.viewer is not None:
-            self.viewer.update(frame, smv)
+        if self.viewer is not None and tr.current is not None:
+            self.viewer.update(tr.current, smv)
         if tr.current is not None and tr.current.pose_set:
             return tr.current.R, tr.current.t
         return None

@@ -145,54 +145,68 @@ class Tracking:
             if ok:
                 ok = self._track_local_map()
 
-            if ok:
-                self.state = State.OK
-            elif self.state == State.OK:
-                self.state = State.RECENTLY_LOST
-                self.ts_lost = self.current.timestamp
-
-            if ok or self.state == State.RECENTLY_LOST:
-                if (
-                    self.last_frame is not None
-                    and self.last_frame.pose_set
-                    and self.current.pose_set
-                ):
-                    R_l, t_l = self.last_frame.R, self.last_frame.t
-                    R_c, t_c = self.current.R, self.current.t
-                    # velocity = T_c * T_l^-1
-                    Rv = R_c @ R_l.T
-                    tv = t_c - Rv @ t_l
-                    self.velocity = (Rv, tv)
-                else:
-                    self.velocity = None
-
-                # Clean unobserved VO matches (Tracking.cc:427-436).
-                for i, mp in enumerate(self.current.mappoints):
-                    if mp is not None and mp.n_obs() < 1:
-                        self.current.outlier[i] = False
-                        self.current.mappoints[i] = None
-
-                if self._need_new_keyframe() and ok:
-                    self._create_new_keyframe()
-
-                # Drop outliers so the next frame won't use them
-                # (Tracking.cc:459-463).
-                for i in range(self.current.n):
-                    if self.current.mappoints[i] is not None and self.current.outlier[i]:
-                        self.current.mappoints[i] = None
-
-            if self.state == State.LOST:
-                if m.n_keyframes() <= 10:
-                    self.system.reset_active_map()
-                    return
-                self._create_map_in_atlas()
+            self._post_tracking_tail(ok, m)
+            if self.state == State.LOST or self.current is None:
                 return
 
-            if self.current.reference_kf is None:
-                self.current.reference_kf = self.reference_kf
-            self.last_frame = self.current
+        self._log_trajectory()
 
-        # Trajectory bookkeeping (Tracking.cc:486-505).
+    def _post_tracking_tail(self, ok, m):
+        """Shared tail of Track(): state update, velocity/motion model,
+        temporal cleanup, keyframe decision, loss handling
+        (Tracking.cc:395-484). Used by both the legacy and the fused path."""
+        if ok:
+            self.state = State.OK
+        elif self.state == State.OK:
+            self.state = State.RECENTLY_LOST
+            self.ts_lost = self.current.timestamp
+
+        if ok or self.state == State.RECENTLY_LOST:
+            if (
+                self.last_frame is not None
+                and self.last_frame.pose_set
+                and self.current.pose_set
+            ):
+                R_l, t_l = self.last_frame.R, self.last_frame.t
+                R_c, t_c = self.current.R, self.current.t
+                # velocity = T_c * T_l^-1
+                Rv = R_c @ R_l.T
+                tv = t_c - Rv @ t_l
+                self.velocity = (Rv, tv)
+            else:
+                self.velocity = None
+
+            # Clean unobserved VO matches (Tracking.cc:427-436).
+            for i, mp in enumerate(self.current.mappoints):
+                if mp is not None and mp.n_obs() < 1:
+                    self.current.outlier[i] = False
+                    self.current.mappoints[i] = None
+
+            if self._need_new_keyframe() and ok:
+                self._create_new_keyframe()
+
+            # Drop outliers so the next frame won't use them
+            # (Tracking.cc:459-463).
+            for i in range(self.current.n):
+                if self.current.mappoints[i] is not None and self.current.outlier[i]:
+                    self.current.mappoints[i] = None
+
+        if self.state == State.LOST:
+            if m.n_keyframes() <= 10:
+                self.system.reset_active_map()
+                self.current = None
+                return
+            self._create_map_in_atlas()
+            return
+
+        if self.current.reference_kf is None:
+            self.current.reference_kf = self.reference_kf
+        self.last_frame = self.current
+
+    def _log_trajectory(self):
+        """Trajectory bookkeeping (Tracking.cc:486-505)."""
+        if self.current is None:
+            return
         if self.state in (State.OK, State.RECENTLY_LOST):
             if self.current.pose_set and self.current.reference_kf is not None:
                 ref = self.current.reference_kf
@@ -207,6 +221,95 @@ class Tracking:
                 self.rel_refs.append(self.rel_refs[-1])
                 self.rel_times.append(self.rel_times[-1])
                 self.rel_lost.append(self.state == State.LOST)
+
+    # --- fused front end -----------------------------------------------------
+    def track_fused(self, frame, out, snapshot):
+        """Track() driven by the fused device program's result
+        (ops/frame_step.tracked_frame_step): the reference-KF gate, the
+        local-map solve, and the match/inlier masks were all computed in one
+        dispatch; this applies the same state machine on the host.
+
+        Only entered from the OK state (System falls back to the legacy path
+        for init/loss states, where the reloc machinery lives)."""
+        import time as _t
+        _t0 = _t.perf_counter()
+        try:
+            return self._track_fused_inner(frame, out, snapshot)
+        finally:
+            self.timings["track_local_map"].append(1e3 * (_t.perf_counter() - _t0))
+
+    def _track_fused_inner(self, frame, out, snapshot):
+        with self.mapper.map_lock:
+            self.current = frame
+            m = self.atlas.current
+
+            # Per-slot fused results already row-compacted by Frame.from_packed.
+            midx = frame._fused_midx
+            matched = frame._fused_matched
+            inlier = frame._fused_inlier
+
+            ok_ref = bool(out["ok"]) and int(out["n_ref_inliers"]) >= 10
+            if not ok_ref:
+                # TrackReferenceKeyFrame failed (Tracking.cc:325-337).
+                if m.n_keyframes() > 10:
+                    self.state = State.RECENTLY_LOST
+                    self.ts_lost = frame.timestamp
+                else:
+                    self.state = State.LOST
+                if self.state == State.LOST:
+                    if m.n_keyframes() < 10:
+                        self.system.reset_active_map()
+                    else:
+                        self._create_map_in_atlas()
+                    self.last_kf = None
+                    return
+                # RECENTLY_LOST: keep the last pose; legacy path takes over
+                # next frame (reloc).
+                frame.set_pose(*(self.last_frame.R, self.last_frame.t))
+                frame.reference_kf = self.reference_kf
+                self._post_tracking_tail(False, m)
+                if self.state != State.LOST and self.current is not None:
+                    self._log_trajectory()
+                return
+
+            frame.set_pose(
+                np.asarray(out["R"], np.float64), np.asarray(out["t"], np.float64)
+            )
+            frame.reference_kf = self.reference_kf
+            self.last_ref_track_count = int(out["n_ref_inliers"])
+
+            # Associate map points + statistics (SearchLocalPoints +
+            # TrackLocalMap bookkeeping, Tracking.cc:913-929). Visibility
+            # counts every frustum-passing snapshot point (matched or not).
+            mps = snapshot.mps
+            for j in np.flatnonzero(out["snap_visible"][: len(mps)]):
+                mp = mps[j]
+                if not mp.bad:
+                    mp.n_visible += 1
+            n_inl = 0
+            for i in np.flatnonzero(matched):
+                mp = mps[int(midx[i])]
+                if mp.bad:
+                    continue
+                frame.mappoints[i] = mp
+                if inlier[i]:
+                    frame.outlier[i] = False
+                    mp.n_found += 1
+                    if mp.n_obs() > 0:
+                        n_inl += 1
+                else:
+                    frame.outlier[i] = True
+            self.matches_inliers = n_inl
+            self.tracked_frames += 1
+
+            ok = n_inl >= 30
+            if frame.id < self.last_reloc_frame_id + self.max_frames and n_inl < 50:
+                ok = False
+
+            self._post_tracking_tail(ok, m)
+            if self.state == State.LOST or self.current is None:
+                return
+        self._log_trajectory()
 
     # --- initialization ----------------------------------------------------
     def _monocular_initialization(self):

@@ -75,4 +75,5 @@ class TrackState:
             "desc": np.asarray(h.desc)[v],
             "coverage": np.asarray(h.coverage)[v],
             "next_id": int(h.next_id),
+            "rows": np.flatnonzero(v),  # compacted slot -> capacity row
         }

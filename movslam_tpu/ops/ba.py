@@ -271,6 +271,41 @@ def ba_solve(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ba_solve_packed(kf_pack, mp_pack, obs_pack, obs_by_point, intr, bf, iters=LM_ITERS):
+    """Fused-transfer BA for remote TPUs (one RPC per array):
+
+    kf_pack : (K, 14) f32 — R(9) t(3) fixed valid
+    mp_pack : (P, 4) f32 — pos(3) valid
+    obs_pack: (O, 6) f32 — kf mp u v ur valid  (indices exact below 2^24)
+    intr    : (4,) f32 — fx fy cx cy
+
+    Returns (out_kf (K, 12) f32 [R t], out_mp (P, 3), out_obs (O, 2)
+    [chi2 depth])."""
+    kf_R = kf_pack[:, 0:9].reshape(-1, 3, 3)
+    kf_t = kf_pack[:, 9:12]
+    kf_fixed = kf_pack[:, 12] > 0
+    kf_valid = kf_pack[:, 13] > 0
+    mp_pos = mp_pack[:, 0:3]
+    mp_valid = mp_pack[:, 3] > 0
+    obs_kf = obs_pack[:, 0].astype(jnp.int32)
+    obs_mp = obs_pack[:, 1].astype(jnp.int32)
+    obs_uv = obs_pack[:, 2:4]
+    obs_ur = obs_pack[:, 4]
+    obs_valid = obs_pack[:, 5] > 0
+    res = ba_solve(
+        kf_R, kf_t, kf_fixed, kf_valid, mp_pos, mp_valid,
+        obs_kf, obs_mp, obs_uv, obs_valid, obs_by_point,
+        intr[0], intr[1], intr[2], intr[3],
+        obs_ur=obs_ur, bf=bf, iters=iters,
+    )
+    out_kf = jnp.concatenate(
+        [res["kf_R"].reshape(-1, 9), res["kf_t"]], axis=1
+    )
+    out_obs = jnp.stack([res["chi2"], res["depth"]], axis=1)
+    return out_kf, res["mp_pos"], out_obs
+
+
 def build_obs_by_point(obs_mp, n_points, mopp, n_obs):
     """Host helper: (P, MOPP) observation indices per point, padded with n_obs.
 

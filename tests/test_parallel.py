@@ -14,8 +14,9 @@ def test_graft_entry_single_chip():
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
-    assert out.pt.shape[0] == args[2].capacity
+    jax.block_until_ready(out["packed"])
+    assert out["packed"].shape[0] == args[2].capacity
+    assert out["scalars"].shape == (15,)
 
 
 def test_dryrun_multichip():
