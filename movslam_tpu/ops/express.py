@@ -196,3 +196,38 @@ def dense_grid_detect(img, threshold, stride=BLOCK):
     blocks = gather_blocks(img, tl)
     passed, desc = detect_and_describe(blocks, threshold)
     return centers, passed, desc
+
+
+def save_express_file(path, img, threshold):
+    """Debug dump: white image with descriptor bits of every detected block
+    painted black (save_express_file, EXPRESS.h:194-229) — batched over the
+    dense pixel grid instead of the reference's per-pixel loop."""
+    imgj = jnp.asarray(img)
+    H, W = img.shape
+    half = BLOCK // 2
+    ys, xs = np.meshgrid(
+        np.arange(half, H - half), np.arange(half, W - half), indexing="ij"
+    )
+    centers = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+    out = np.full((H, W), 255, np.uint8)
+    # Chunked to bound memory: every center's block described + detected.
+    for i in range(0, len(centers), 8192):
+        c = centers[i : i + 8192]
+        tl = jnp.asarray(c) - half
+        blocks = gather_blocks(imgj, tl)
+        passed, desc = detect_and_describe(blocks, threshold)
+        passed = np.asarray(passed)
+        from .bitdesc import unpack_bits
+
+        dbits = np.asarray(unpack_bits(desc)).astype(bool).reshape(-1, BLOCK, BLOCK)
+        for k in np.flatnonzero(passed):
+            x0, y0 = c[k, 0] - half, c[k, 1] - half
+            blk = out[y0 : y0 + BLOCK, x0 : x0 + BLOCK]
+            blk[dbits[k]] = 0
+    try:
+        import cv2
+
+        cv2.imwrite(path, out)
+    except ImportError:
+        np.save(path + ".npy", out)
+    return out

@@ -13,17 +13,31 @@ import numpy as np
 
 
 class Viewer:
-    def __init__(self, system, out_dir=None, every=1):
+    def __init__(self, system, out_dir=None, every=1, history=12):
         self.system = system
         self.out_dir = out_dir
         self.every = max(1, every)
         self.count = 0
         self.last_frame_render = None
+        self.history = history
+        self._tracks = {}  # track_id -> list of recent points
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
     def update(self, frame, smv):
         self.count += 1
+        # Track-history polylines (FrameDrawer's green VideoFeature trails,
+        # FrameDrawer.cc:129-190).
+        seen = set()
+        for tid, pt in zip(frame.track_ids, frame.pts):
+            tid = int(tid)
+            seen.add(tid)
+            self._tracks.setdefault(tid, []).append(tuple(pt))
+            if len(self._tracks[tid]) > self.history:
+                self._tracks[tid] = self._tracks[tid][-self.history:]
+        for tid in list(self._tracks):
+            if tid not in seen:
+                del self._tracks[tid]
         if self.count % self.every:
             return
         img = self.draw_frame(frame, smv)
@@ -32,6 +46,7 @@ class Viewer:
             try:
                 import cv2
 
+                os.makedirs(self.out_dir, exist_ok=True)
                 cv2.imwrite(os.path.join(self.out_dir, f"frame_{self.count:06d}.png"), img)
             except ImportError:
                 pass
@@ -47,6 +62,10 @@ class Viewer:
             return out
         for i in range(frame.n):
             x, y = int(frame.pts[i, 0]), int(frame.pts[i, 1])
+            trail = self._tracks.get(int(frame.track_ids[i]), [])
+            if len(trail) > 1:
+                pts = np.asarray(trail, np.int32).reshape(-1, 1, 2)
+                cv2.polylines(out, [pts], False, (0, 200, 0), 1)
             if frame.mappoints[i] is not None and not frame.outlier[i]:
                 cv2.rectangle(out, (x - 4, y - 4), (x + 4, y + 4), (0, 255, 0), 1)
                 cv2.circle(out, (x, y), 1, (0, 255, 0), -1)
