@@ -34,6 +34,205 @@ CHI2_PRUNE = 5.0  # Optimizer.cc delta
 REPROJ_TRI = 5.0  # CreateNewMapPoints reprojection gate (delta)
 
 
+def _bucket(n, lo, hi):
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+def assemble_ba_problem(kfs, n_opt, mps, init_kf_id, K, mopp=MOPP,
+                        p_lo=512, p_hi=MAX_BA_MP, o_lo=2048, o_hi=MAX_BA_OBS):
+    """Pack a BA problem (any KF/point subset) into the fixed-shape arrays
+    `ba_solve_packed` consumes. kfs[:n_opt] are optimized (except the init
+    KF, held fixed like g2o setFixed at Optimizer.cc:561); kfs[n_opt:] are
+    fixed anchors. Returns None when the problem is empty.
+
+    Observation capping: per point keep the `mopp` chronologically earliest
+    keyframes (widest baselines), then a point-major total cap so complete
+    points survive truncation.
+    """
+    if not kfs or not mps:
+        return None
+    mps = mps[:p_hi]
+    P = _bucket(len(mps), p_lo, p_hi)
+
+    kf_R = np.zeros((K, 3, 3), np.float32)
+    kf_R[:, 0, 0] = kf_R[:, 1, 1] = kf_R[:, 2, 2] = 1.0
+    kf_t = np.zeros((K, 3), np.float32)
+    kf_fixed = np.ones(K, bool)
+    kf_valid = np.zeros(K, bool)
+    for i, kf in enumerate(kfs):
+        kf_R[i] = kf.R
+        kf_t[i] = kf.t
+        kf_valid[i] = True
+        kf_fixed[i] = (i >= n_opt) or (kf.id == init_kf_id)
+
+    mp_pos = np.zeros((P, 3), np.float32)
+    mp_valid = np.zeros(P, bool)
+    for j, mp in enumerate(mps):
+        mp_pos[j] = mp.pos
+        mp_valid[j] = True
+
+    # --- vectorized observation assembly (the per-KF slot arrays are the
+    # ground truth; no per-observation Python loops) -----------------
+    mp_id_arr = np.fromiter((mp.id for mp in mps), np.int64, len(mps))
+    sort_perm = np.argsort(mp_id_arr)
+    sorted_ids = mp_id_arr[sort_perm]
+
+    def lookup(mids):
+        """Vectorized id -> local index (-1 if absent)."""
+        pos = np.searchsorted(sorted_ids, mids)
+        pos_c = np.minimum(pos, len(sorted_ids) - 1)
+        ok = sorted_ids[pos_c] == mids
+        return np.where(ok, sort_perm[pos_c], -1)
+
+    blocks = []  # (kf_idx arr, mp_idx arr, uv arr, ur arr, slot arr)
+    for i, kf in enumerate(kfs):
+        slots = np.flatnonzero(kf.mp_ids >= 0)
+        if len(slots) == 0:
+            continue
+        mids = kf.mp_ids[slots]
+        j_idx = lookup(mids)
+        keep = j_idx >= 0
+        slots = slots[keep]
+        j_idx = j_idx[keep]
+        uv = kf.pts[slots]
+        if kf.uright is not None:
+            ur = np.where(kf.uright[slots] >= 0, kf.uright[slots], -1.0)
+        else:
+            ur = np.full(len(slots), -1.0)
+        blocks.append(
+            (np.full(len(slots), i, np.int32), j_idx.astype(np.int32),
+             uv.astype(np.float32), ur.astype(np.float32),
+             slots.astype(np.int32))
+        )
+    if not blocks:
+        return None
+    all_kf = np.concatenate([b[0] for b in blocks])
+    all_mp = np.concatenate([b[1] for b in blocks])
+    all_uv = np.concatenate([b[2] for b in blocks])
+    all_ur = np.concatenate([b[3] for b in blocks])
+    all_slot = np.concatenate([b[4] for b in blocks])
+
+    all_kfid = np.concatenate(
+        [np.full(len(b[0]), kfs[int(b[0][0])].id, np.int64) for b in blocks]
+    )
+    order = np.lexsort((all_kfid, all_mp))
+    mp_sorted = all_mp[order]
+    first = np.concatenate([[True], mp_sorted[1:] != mp_sorted[:-1]])
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(order)), 0))
+    within = np.arange(len(order)) - group_start
+    keep_sorted = within < mopp
+    sel = order[keep_sorted][:o_hi]
+
+    n_obs = len(sel)
+    O = _bucket(n_obs, o_lo, o_hi)
+    sel = sel[:O]
+    n_obs = len(sel)
+    obs_kf = np.zeros(O, np.int32)
+    obs_mp = np.zeros(O, np.int32)
+    obs_uv = np.zeros((O, 2), np.float32)
+    obs_ur = np.full(O, -1.0, np.float32)
+    obs_valid = np.zeros(O, bool)
+    obs_kf[:n_obs] = all_kf[sel]
+    obs_mp[:n_obs] = all_mp[sel]
+    obs_uv[:n_obs] = all_uv[sel]
+    obs_ur[:n_obs] = all_ur[sel]
+    obs_valid[:n_obs] = True
+    obs_meta = (all_kf[sel], all_mp[sel], all_slot[sel])
+
+    obp = build_obs_by_point(np.where(obs_valid, obs_mp, P), P, mopp, O)
+
+    kf_pack = np.zeros((K, 14), np.float32)
+    kf_pack[:, 0:9] = kf_R.reshape(K, 9)
+    kf_pack[:, 9:12] = kf_t
+    kf_pack[:, 12] = kf_fixed
+    kf_pack[:, 13] = kf_valid
+    mp_pack = np.zeros((P, 4), np.float32)
+    mp_pack[:, 0:3] = mp_pos
+    mp_pack[:, 3] = mp_valid
+    obs_pack = np.zeros((O, 6), np.float32)
+    obs_pack[:, 0] = obs_kf
+    obs_pack[:, 1] = obs_mp
+    obs_pack[:, 2:4] = obs_uv
+    obs_pack[:, 4] = obs_ur
+    obs_pack[:, 5] = obs_valid
+    return {
+        "kf_pack": kf_pack, "mp_pack": mp_pack, "obs_pack": obs_pack,
+        "obp": obp, "obs_meta": obs_meta, "kf_fixed": kf_fixed, "mps": mps,
+    }
+
+
+def commit_ba_result(res, obs_meta, kfs, mps, kf_fixed, m):
+    """Prune chi2>5 / negative-depth observations and write optimized
+    poses/points back into the map graph (Optimizer.cc:761-841). Caller
+    holds the map lock."""
+    out_kf, out_mp, out_obs = res
+    out_kf = np.asarray(out_kf)
+    out_mp = np.asarray(out_mp)
+    out_obs = np.asarray(out_obs)
+    chi2 = out_obs[:, 0]
+    depth = out_obs[:, 1]
+    R_out = out_kf[:, 0:9].reshape(-1, 3, 3).astype(np.float64)
+    t_out = out_kf[:, 9:12].astype(np.float64)
+    X_out = out_mp.astype(np.float64)
+
+    o_kf, o_mp, o_slot = obs_meta
+    bad_o = np.flatnonzero(
+        (chi2[: len(o_kf)] > CHI2_PRUNE) | (depth[: len(o_kf)] <= 0)
+    )
+    for o in bad_o:
+        mp = mps[o_mp[o]]
+        if mp.bad:
+            continue
+        kf = kfs[o_kf[o]]
+        kf.erase_mappoint_slot(int(o_slot[o]))
+        mp.remove_observation(kf.id)
+
+    for i, kf in enumerate(kfs):
+        if not kf_fixed[i] and not kf.bad:
+            kf.set_pose(R_out[i], t_out[i])
+    alive = []
+    for j, mp in enumerate(mps):
+        if not mp.bad:
+            mp.pos = X_out[j]
+            alive.append(mp)
+    update_normals_batch(alive, m)
+    m.bump_change()
+
+
+def global_bundle_adjustment(m, camera, bf=0.0, iters=20, map_lock=None):
+    """Full-map bundle adjustment (Optimizer::BundleAdjustment /
+    System::GlobalBundleAdjustment, Optimizer.cc:61-395 + System.cc:162-169):
+    every good keyframe optimized (origin fixed), every good map point, 20 LM
+    iterations, synchronous writeback."""
+    kfs = sorted(
+        (kf for kf in m.keyframes.values() if not kf.bad), key=lambda k: k.id
+    )
+    max_kf = MAX_OPT_KF + MAX_FIX_KF
+    kfs = kfs[-max_kf:] if len(kfs) > max_kf else kfs
+    mps = [mp for mp in m.mappoints.values() if not mp.bad]
+    prob = assemble_ba_problem(kfs, len(kfs), mps, m.init_kf_id, max_kf)
+    if prob is None:
+        return
+    res = ba_solve_packed(
+        jnp.asarray(prob["kf_pack"]), jnp.asarray(prob["mp_pack"]),
+        jnp.asarray(prob["obs_pack"]), jnp.asarray(prob["obp"]),
+        jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy], jnp.float32),
+        bf, iters=iters,
+    )
+    if map_lock is not None:
+        map_lock.acquire()
+    try:
+        commit_ba_result(
+            res, prob["obs_meta"], kfs, prob["mps"], prob["kf_fixed"], m
+        )
+    finally:
+        if map_lock is not None:
+            map_lock.release()
+
+
 class LocalMapping:
     def __init__(self, atlas, camera, monocular=True, far_points=0.0, bf=0.0, stereo_b=0.0):
         self.atlas = atlas
@@ -430,135 +629,19 @@ class LocalMapping:
             return  # reference aborts with 0 fixed KFs (Optimizer.cc:525-529)
 
         kfs = local + fixed
-        K = MAX_OPT_KF + MAX_FIX_KF
-        # Bucketed problem sizes: pad to the next power of two so XLA keeps a
-        # handful of compiled variants while small maps move small arrays.
-        def _bucket(n, lo, hi):
-            b = lo
-            while b < n and b < hi:
-                b *= 2
-            return b
-        P = _bucket(len(mps), 512, MAX_BA_MP)
-
-        kf_index = {kf.id: i for i, kf in enumerate(kfs)}
-        mp_index = {mp.id: j for j, mp in enumerate(mps)}
-
-        kf_R = np.zeros((K, 3, 3), np.float32)
-        kf_R[:, 0, 0] = kf_R[:, 1, 1] = kf_R[:, 2, 2] = 1.0
-        kf_t = np.zeros((K, 3), np.float32)
-        kf_fixed = np.ones(K, bool)
-        kf_valid = np.zeros(K, bool)
-        for i, kf in enumerate(kfs):
-            kf_R[i] = kf.R
-            kf_t[i] = kf.t
-            kf_valid[i] = True
-            kf_fixed[i] = (i >= len(local)) or (kf.id == m.init_kf_id)
-
-        mp_pos = np.zeros((P, 3), np.float32)
-        mp_valid = np.zeros(P, bool)
-        for j, mp in enumerate(mps):
-            mp_pos[j] = mp.pos
-            mp_valid[j] = True
-
-        # --- vectorized observation assembly (the per-KF slot arrays are the
-        # ground truth; no per-observation Python loops) -----------------
-        mp_id_arr = np.fromiter((mp.id for mp in mps), np.int64, len(mps))
-        sort_perm = np.argsort(mp_id_arr)
-        sorted_ids = mp_id_arr[sort_perm]
-
-        def lookup(mids):
-            """Vectorized id -> local index (-1 if absent)."""
-            pos = np.searchsorted(sorted_ids, mids)
-            pos_c = np.minimum(pos, len(sorted_ids) - 1)
-            ok = sorted_ids[pos_c] == mids
-            return np.where(ok, sort_perm[pos_c], -1)
-
-        blocks = []  # (kf_idx arr, mp_idx arr, uv arr, ur arr, slot arr)
-        for i, kf in enumerate(kfs):
-            slots = np.flatnonzero(kf.mp_ids >= 0)
-            if len(slots) == 0:
-                continue
-            mids = kf.mp_ids[slots]
-            j_idx = lookup(mids)
-            keep = j_idx >= 0
-            slots = slots[keep]
-            j_idx = j_idx[keep]
-            uv = kf.pts[slots]
-            if kf.uright is not None:
-                ur = np.where(kf.uright[slots] >= 0, kf.uright[slots], -1.0)
-            else:
-                ur = np.full(len(slots), -1.0)
-            blocks.append(
-                (np.full(len(slots), i, np.int32), j_idx.astype(np.int32),
-                 uv.astype(np.float32), ur.astype(np.float32),
-                 slots.astype(np.int32))
-            )
-        if not blocks:
+        # Fused-transfer problem assembly (4 uploads / 3 pulls instead of
+        # 11 / 5 — round trips dominate keyframe cost on remote TPUs); sizes
+        # bucketed to the next power of two so XLA keeps few compiled
+        # variants while small maps move small arrays.
+        prob = assemble_ba_problem(
+            kfs, len(local), mps, m.init_kf_id, MAX_OPT_KF + MAX_FIX_KF
+        )
+        if prob is None:
             return
-        all_kf = np.concatenate([b[0] for b in blocks])
-        all_mp = np.concatenate([b[1] for b in blocks])
-        all_uv = np.concatenate([b[2] for b in blocks])
-        all_ur = np.concatenate([b[3] for b in blocks])
-        all_slot = np.concatenate([b[4] for b in blocks])
-
-        # Cap observations per point at MOPP (Schur pair terms must see every
-        # observation that enters the gradient) and total at O. Within a
-        # point, keep the CHRONOLOGICALLY earliest keyframes — they carry the
-        # widest baselines and hence the strongest depth constraints
-        # (covisibility-ordered capping measurably degrades geometry).
-        all_kfid = np.concatenate(
-            [np.full(len(b[0]), kfs[int(b[0][0])].id, np.int64) for b in blocks]
-        )
-        order = np.lexsort((all_kfid, all_mp))
-        mp_sorted = all_mp[order]
-        first = np.concatenate([[True], mp_sorted[1:] != mp_sorted[:-1]])
-        group_start = np.maximum.accumulate(np.where(first, np.arange(len(order)), 0))
-        within = np.arange(len(order)) - group_start
-        keep_sorted = within < MOPP
-        # Point-major selection for the total cap: complete points survive,
-        # rather than silently dropping all observations of later keyframes.
-        sel = order[keep_sorted][:MAX_BA_OBS]
-
-        n_obs = len(sel)
-        O = _bucket(n_obs, 2048, MAX_BA_OBS)
-        sel = sel[:O]
-        n_obs = len(sel)
-        obs_kf = np.zeros(O, np.int32)
-        obs_mp = np.zeros(O, np.int32)
-        obs_uv = np.zeros((O, 2), np.float32)
-        obs_ur = np.full(O, -1.0, np.float32)
-        obs_valid = np.zeros(O, bool)
-        obs_kf[:n_obs] = all_kf[sel]
-        obs_mp[:n_obs] = all_mp[sel]
-        obs_uv[:n_obs] = all_uv[sel]
-        obs_ur[:n_obs] = all_ur[sel]
-        obs_valid[:n_obs] = True
-        obs_meta = (all_kf[sel], all_mp[sel], all_slot[sel])
-
-        obp = build_obs_by_point(
-            np.where(obs_valid, obs_mp, P), P, MOPP, O
-        )
-
-        # Fused-transfer call: 4 uploads / 3 pulls instead of 11 / 5 —
-        # round trips dominate keyframe cost on remote TPUs.
-        kf_pack = np.zeros((K, 14), np.float32)
-        kf_pack[:, 0:9] = kf_R.reshape(K, 9)
-        kf_pack[:, 9:12] = kf_t
-        kf_pack[:, 12] = kf_fixed
-        kf_pack[:, 13] = kf_valid
-        mp_pack = np.zeros((P, 4), np.float32)
-        mp_pack[:, 0:3] = mp_pos
-        mp_pack[:, 3] = mp_valid
-        obs_pack = np.zeros((O, 6), np.float32)
-        obs_pack[:, 0] = obs_kf
-        obs_pack[:, 1] = obs_mp
-        obs_pack[:, 2:4] = obs_uv
-        obs_pack[:, 4] = obs_ur
-        obs_pack[:, 5] = obs_valid
         cam = self.camera
         res = ba_solve_packed(
-            jnp.asarray(kf_pack), jnp.asarray(mp_pack), jnp.asarray(obs_pack),
-            jnp.asarray(obp),
+            jnp.asarray(prob["kf_pack"]), jnp.asarray(prob["mp_pack"]),
+            jnp.asarray(prob["obs_pack"]), jnp.asarray(prob["obp"]),
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
             self.bf,
         )
@@ -569,8 +652,8 @@ class LocalMapping:
         # in between — the TPU-native version of the reference's mapper
         # thread overlapping the tracking thread (System.cc:129).
         self._pending_ba = {
-            "res": res, "obs_meta": obs_meta, "kfs": kfs, "mps": mps,
-            "kf_fixed": kf_fixed, "map": m,
+            "res": res, "obs_meta": prob["obs_meta"], "kfs": kfs,
+            "mps": prob["mps"], "kf_fixed": prob["kf_fixed"], "map": m,
         }
 
     def _commit_pending_ba(self):
@@ -587,40 +670,8 @@ class LocalMapping:
 
         # Device wait happens OUTSIDE the map lock (the pull blocks until
         # the solve finishes); only the graph writeback is locked.
-        out_kf, out_mp, out_obs = res
-        out_kf = np.asarray(out_kf)
-        out_mp = np.asarray(out_mp)
-        out_obs = np.asarray(out_obs)
-        chi2 = out_obs[:, 0]
-        depth = out_obs[:, 1]
-        R_out = out_kf[:, 0:9].reshape(-1, 3, 3).astype(np.float64)
-        t_out = out_kf[:, 9:12].astype(np.float64)
-        X_out = out_mp.astype(np.float64)
-
-        self.map_lock.acquire()
-        # Prune bad observations (chi2 > 5 or negative depth).
-        o_kf, o_mp, o_slot = pending["obs_meta"]
-        bad_o = np.flatnonzero(
-            (chi2[: len(o_kf)] > CHI2_PRUNE) | (depth[: len(o_kf)] <= 0)
-        )
-        for o in bad_o:
-            mp = mps[o_mp[o]]
-            if mp.bad:
-                continue
-            kf = kfs[o_kf[o]]
-            kf.erase_mappoint_slot(int(o_slot[o]))
-            mp.remove_observation(kf.id)
-
-        # Write back.
-        for i, kf in enumerate(kfs):
-            if not kf_fixed[i] and not kf.bad:
-                kf.set_pose(R_out[i], t_out[i])
-        alive = []
-        for j, mp in enumerate(mps):
-            if not mp.bad:
-                mp.pos = X_out[j]
-                alive.append(mp)
-        update_normals_batch(alive, m)
-
-        m.bump_change()
-        self.map_lock.release()
+        res = tuple(np.asarray(x) for x in res)
+        with self.map_lock:
+            commit_ba_result(
+                res, pending["obs_meta"], kfs, mps, kf_fixed, m
+            )

@@ -299,6 +299,18 @@ class System:
         self.tracking.reset_active_map()
         self._reset_requested = True
 
+    def global_bundle_adjustment(self, iters=20):
+        """Full-map BA over the active map (System::GlobalBundleAdjustment,
+        System.cc:162-169): every keyframe optimized (origin fixed),
+        synchronous writeback under the map lock."""
+        from .local_mapping import global_bundle_adjustment
+
+        self.mapper.spin(final=True)  # drain queue + commit pending LBA first
+        global_bundle_adjustment(
+            self.atlas.current, self.mapper.camera, bf=self.mapper.bf,
+            iters=iters, map_lock=self.mapper.map_lock,
+        )
+
     def shutdown(self):
         if self.async_mapping:
             self.mapper.stop_thread()

@@ -120,3 +120,49 @@ def test_async_mapping_thread():
     m = system.atlas.current
     assert m.n_keyframes() >= 4
     assert m.n_mappoints() > 100
+
+
+def test_global_bundle_adjustment():
+    """System.global_bundle_adjustment (System.cc:162-169): full-map BA
+    runs, keeps the map finite, and does not increase total reprojection
+    error."""
+    stream = SyntheticStream(n_points=300, seed=21)
+    system = System(_settings(), MONOCULAR)
+    _run(system, stream, 20)
+    m = system.atlas.current
+    n_kf = len([k for k in m.keyframes.values() if not k.bad])
+    assert n_kf >= 3
+
+    def total_reproj(m):
+        err = 0.0
+        n = 0
+        for kf in m.keyframes.values():
+            if kf.bad:
+                continue
+            slots = np.flatnonzero(kf.mp_ids >= 0)
+            for s in slots:
+                mp = m.mappoints.get(int(kf.mp_ids[s]))
+                if mp is None or mp.bad:
+                    continue
+                pc = kf.R @ mp.pos + kf.t
+                if pc[2] <= 1e-6:
+                    continue
+                cam = system.mapper.camera
+                u = cam.fx * pc[0] / pc[2] + cam.cx
+                v = cam.fy * pc[1] / pc[2] + cam.cy
+                uv = kf.pts[s]
+                err += float((u - uv[0]) ** 2 + (v - uv[1]) ** 2)
+                n += 1
+        return err / max(n, 1)
+
+    before = total_reproj(m)
+    system.global_bundle_adjustment(iters=10)
+    after = total_reproj(m)
+    for kf in m.keyframes.values():
+        assert np.all(np.isfinite(kf.t))
+    for mp in m.mappoints.values():
+        if not mp.bad:
+            assert np.all(np.isfinite(mp.pos))
+    # GBA prunes chi2>5 obs and re-optimizes: mean residual must not blow up.
+    assert after <= before * 1.5 + 1e-6
+    system.shutdown()
