@@ -141,3 +141,93 @@ def inertial_residual(pre, R_i, p_i, v_i, R_j, p_j, v_j, bias_g, bias_a,
     ev = R_i.T @ (v_j - v_i - gravity * dt) - dv
     ep = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * gravity * dt * dt) - dp
     return jnp.concatenate([er, ev, ep])
+
+
+def _exp_xy(theta):
+    """Gravity-direction rotation from a 2-DoF tangent (VertexGDir semantics,
+    G2oTypes.h: GDirection updates only roll/pitch — yaw is unobservable)."""
+    return so3_exp(jnp.concatenate([theta, jnp.zeros(1)]))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def inertial_gs_optimize(pres, Rs, ps, v0, bg0, ba0, valid, iters=10,
+                         gravity_mag=9.81, prior_bias=1e2):
+    """Gravity-direction + scale (+ velocities, shared biases) optimization
+    with all keyframe poses fixed — Optimizer::InertialOptimization
+    (/root/reference/src/Optimizer.cc:843-950, EdgeInertialGS semantics;
+    vestigial there: only reachable from the never-called
+    LocalMapping::ScaleRefinement at LocalMapping.cc:804-857).
+
+    pres:  preintegration windows stacked over the leading axis (K-1 windows,
+           each field as from `preintegrate`, vmapped layout).
+    Rs:    (K, 3, 3) world-from-body rotations (fixed).
+    ps:    (K, 3) keyframe positions in the (unscaled) map frame (fixed).
+    v0:    (K, 3) initial velocity guesses.
+    valid: (K-1,) window mask.
+
+    Optimizes x = [theta_g (2), log_s, v (K*3), bg (3), ba (3)] by damped
+    Gauss-Newton on the stacked 9-dim residuals
+        er = Log(dR(bg)^T R_i^T R_j)
+        ev = R_i^T (v_j - v_i - g dt) - dv(bg, ba)
+        ep = R_i^T (s (p_j - p_i) - v_i dt - 0.5 g dt^2) - dp(bg, ba)
+    with g = Exp([theta_g, 0]) [0, 0, -gravity_mag]. Returns dict with
+    Rwg, scale, vel, bg, ba, cost history."""
+    K = Rs.shape[0]
+    g0 = jnp.array([0.0, 0.0, -gravity_mag])
+
+    def unpack(x):
+        theta = x[0:2]
+        log_s = x[2]
+        v = x[3 : 3 + 3 * K].reshape(K, 3)
+        bg = x[3 + 3 * K : 6 + 3 * K]
+        ba = x[6 + 3 * K : 9 + 3 * K]
+        return theta, log_s, v, bg, ba
+
+    def residuals(x):
+        theta, log_s, v, bg, ba = unpack(x)
+        g = _exp_xy(theta) @ g0
+        s = jnp.exp(log_s)
+
+        def window(pre, R_i, p_i, v_i, R_j, p_j, v_j, w_valid):
+            dt = pre["dt"]
+            dR, dv, dp = bias_corrected_deltas(pre, bg - bg0, ba - ba0)
+            er = so3_log(dR.T @ (R_i.T @ R_j))
+            ev = R_i.T @ (v_j - v_i - g * dt) - dv
+            ep = R_i.T @ (s * (p_j - p_i) - v_i * dt - 0.5 * g * dt * dt) - dp
+            r = jnp.concatenate([er, ev, ep])
+            return jnp.where(w_valid, r, 0.0)
+
+        r = jax.vmap(window)(
+            pres, Rs[:-1], ps[:-1], v[:-1], Rs[1:], ps[1:], v[1:], valid
+        ).reshape(-1)
+        # Gentle bias prior (EdgePriorGyro/Acc, Optimizer.cc:901-917).
+        r_prior = jnp.concatenate([bg - bg0, ba - ba0]) * jnp.sqrt(
+            1.0 / prior_bias
+        )
+        return jnp.concatenate([r, r_prior])
+
+    x0 = jnp.concatenate(
+        [jnp.zeros(2), jnp.zeros(1), v0.reshape(-1), bg0, ba0]
+    )
+
+    def gn_step(x, _):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J + 1e-6 * jnp.eye(x.shape[0])
+        dx = jnp.linalg.solve(H, -(J.T @ r))
+        x_new = x + dx
+        c0 = jnp.sum(r * r)
+        c1 = jnp.sum(residuals(x_new) ** 2)
+        ok = jnp.isfinite(c1) & (c1 < c0)
+        return jnp.where(ok, x_new, x), jnp.where(ok, c1, c0)
+
+    x, costs = jax.lax.scan(gn_step, x0, None, length=iters)
+    theta, log_s, v, bg, ba = unpack(x)
+    return {
+        "Rwg": _exp_xy(theta),
+        "scale": jnp.exp(log_s),
+        "vel": v,
+        "bg": bg,
+        "ba": ba,
+        "costs": costs,
+    }

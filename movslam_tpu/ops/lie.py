@@ -49,7 +49,6 @@ def so3_log(R):
     """(...,3,3) -> (...,3). Stable for small angles; angle < pi assumed."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -58,12 +57,18 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    # theta/(2 sin theta), small-angle -> 1/2 + theta^2/12
+    # theta/(2 sin theta); small-angle series 1/2 + theta^2/12 expressed in
+    # (1 - cos) so the gradient is polynomial (theta^2 = 2(1-cos) + O(th^4)).
+    # Both branches are evaluated under jacfwd/jacrev, so each must have a
+    # finite gradient everywhere: arccos input is clipped strictly inside
+    # (-1, 1) for the large branch (d/dx arccos blows up at +-1).
+    near = cos_t > 1.0 - 1e-6
+    cos_l = jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta_l = jnp.arccos(cos_l)
     scale = jnp.where(
-        jnp.abs(sin_t) > 1e-5,
-        theta / (2.0 * sin_t),
-        0.5 + theta * theta / 12.0,
+        near,
+        0.5 + (1.0 - cos_t) / 6.0,
+        theta_l / (2.0 * jnp.sin(theta_l)),
     )
     return w * scale[..., None]
 

@@ -130,3 +130,60 @@ def test_inertial_residual_zero_on_consistent_states(rng):
         )
     )
     assert np.abs(r).max() < 5e-3, r
+
+
+def test_inertial_gs_optimize_recovers_scale_and_gravity(rng):
+    """inertial_gs_optimize (Optimizer.cc:843-950 parity) recovers the mono
+    map scale and the tilted gravity direction from IMU windows with all
+    poses fixed."""
+    from movslam_tpu.ops.imu import inertial_gs_optimize
+
+    s_true = 2.5
+    tilt = np.asarray(lie.so3_exp(jnp.asarray([0.06, -0.04, 0.0], jnp.float32)))
+    g_w = tilt @ np.asarray(GRAVITY)
+
+    # Circular constant-speed trajectory, identity attitude: gyro = 0,
+    # accelerometer measures a_world - g_w.
+    r_c, omega = 2.0, 0.6
+    imu_dt, per_win, K = 0.005, 100, 9
+
+    def state(t):
+        p = np.array([r_c * np.cos(omega * t), r_c * np.sin(omega * t), 0.0])
+        v = r_c * omega * np.array([-np.sin(omega * t), np.cos(omega * t), 0.0])
+        a = -r_c * omega**2 * np.array([np.cos(omega * t), np.sin(omega * t), 0.0])
+        return p, v, a
+
+    pres, Rs, ps, vs = [], [], [], []
+    for k in range(K):
+        t0 = k * per_win * imu_dt
+        p, v, _ = state(t0)
+        Rs.append(np.eye(3, dtype=np.float32))
+        ps.append((p / s_true).astype(np.float32))  # mono map: shrunk scale
+        vs.append(v.astype(np.float32))
+        if k == K - 1:
+            break
+        accs = []
+        for i in range(per_win):
+            _, _, a = state(t0 + i * imu_dt)
+            accs.append(a - g_w)
+        pres.append(preintegrate(
+            jnp.zeros((per_win, 3), jnp.float32),
+            jnp.asarray(np.array(accs), jnp.float32),
+            jnp.full(per_win, imu_dt, jnp.float32), jnp.ones(per_win, bool),
+            jnp.zeros(3), jnp.zeros(3),
+        ))
+
+    import jax
+    pres_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pres)
+    out = inertial_gs_optimize(
+        pres_stacked, jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ps)),
+        jnp.asarray(np.stack(vs)), jnp.zeros(3), jnp.zeros(3),
+        jnp.ones(K - 1, bool), iters=12,
+    )
+    scale = float(out["scale"])
+    g_est = np.asarray(out["Rwg"]) @ np.array([0.0, 0.0, -9.81])
+    cos_g = float(g_est @ g_w / (np.linalg.norm(g_est) * np.linalg.norm(g_w)))
+    costs = np.asarray(out["costs"])
+    assert abs(scale - s_true) / s_true < 0.02, scale
+    assert cos_g > 0.9999, (g_est, g_w)
+    assert costs[-1] < costs[0] * 1e-3
