@@ -277,7 +277,23 @@ class LocalMapping:
             self.cooldown -= 1
 
     def is_idle(self):
-        return len(self.queue) == 0 and self.cooldown == 0 and not self._processing
+        """AcceptKeyFrames (LocalMapping.cc): the reference's mapper thread
+        reports busy while it processes a keyframe, which is what throttles
+        NeedNewKeyFrame's c1b (Tracking.cc:969) between mMinFrames and
+        mMaxFrames. Here keyframe processing is an async device dispatch, so
+        'busy' = the local-BA result hasn't landed yet (jax.Array.is_ready()
+        polls without blocking) — the KF rate adapts to real BA latency just
+        like the reference's thread timing."""
+        if len(self.queue) != 0 or self.cooldown != 0 or self._processing:
+            return False
+        pending = getattr(self, "_pending_ba", None)
+        if pending is not None:
+            try:
+                if not all(x.is_ready() for x in pending["res"]):
+                    return False
+            except AttributeError:
+                pass
+        return True
 
     # --- threaded mode (reference LocalMapping::Run, LocalMapping.cc:50-115)
     def start_thread(self):

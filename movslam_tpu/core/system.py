@@ -158,26 +158,35 @@ class System:
         if snap is None:
             return False
 
-        mv_pack, kps_pack = smv.packed()
-        tr._pnp_key, key = jax.random.split(tr._pnp_key)
+        mvk_pack, n_mvs = smv.packed_joint()
+        # Constant-velocity motion model (Tracking.cc:414-424): seed the PnP
+        # prior lane and GN refinement with T_vel * T_last instead of T_last.
+        R_prior, t_prior = tr.last_frame.R, tr.last_frame.t
+        if tr.velocity is not None:
+            Rv, tv = tr.velocity
+            R_prior = Rv @ R_prior
+            t_prior = Rv @ t_prior + tv
+        aux = np.empty(13, np.float32)
+        aux[0:9] = np.asarray(R_prior, np.float32).reshape(-1)
+        aux[9:12] = t_prior
+        aux[12] = smv.coverage_area
         out = tracked_frame_step(
             img_dev,
             self._prev_img,
             self._prev_state,
-            jnp.asarray(mv_pack),
-            jnp.asarray(kps_pack),
-            jnp.asarray(smv.coverage_area, jnp.float32),
+            jnp.asarray(mvk_pack),
+            jnp.asarray(aux),
             snap.tid_sorted, snap.perm, snap.pack,
-            jnp.asarray(tr.last_frame.R, jnp.float32),
-            jnp.asarray(tr.last_frame.t, jnp.float32),
             tr._intr,
-            key,
-            float(self.settings.reprojection_error),
-            self.extractor.threshold,
-            self.extractor.coverage_threshold,
+            tr._pnp_key,
+            n_mvs=n_mvs,
+            reproj_err=float(self.settings.reprojection_error),
+            threshold=float(self.extractor.threshold),
+            coverage_threshold=float(self.extractor.coverage_threshold),
             capacity=self.extractor.capacity,
             max_cov=512,
         )
+        tr._pnp_key = out["key"]
         state = out["state"]
         # Three pulls total (device_get is one RPC per pytree LEAF on the
         # remote TPU, so everything is packed into arrays).

@@ -113,6 +113,17 @@ class MotionVectorImage:
         kps_pack[: self.n_kps, 4] = 1.0
         return mv_pack, kps_pack
 
+    def packed_joint(self):
+        """ONE host->device transfer for all per-frame MV data: (M+K, 8) f32
+        where rows [0:M] are mv_pack and rows [M:M+K] hold kps rect(4)+valid
+        in the first 5 columns. Returns (arr, M)."""
+        mv_pack, kps_pack = self.packed()
+        M, K = mv_pack.shape[0], kps_pack.shape[0]
+        joint = np.zeros((M + K, 8), np.float32)
+        joint[:M] = mv_pack
+        joint[M:, 0:5] = kps_pack
+        return joint, M
+
     @property
     def mv_valid(self):
         m = np.zeros((self.mv_delta.shape[0],), bool)

@@ -65,28 +65,47 @@ def _project_gate(R, t, pos, intr, width, height, normal, mind, maxd):
     return jnp.stack([u, v], axis=-1), ok
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "max_cov"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_mvs", "reproj_err", "threshold", "coverage_threshold",
+        "capacity", "max_cov",
+    ),
+)
 def tracked_frame_step(
     img,
     prev_img,
     prev_state,
-    mv_pack,
-    kps_pack,
-    coverage_area,
+    mvk_pack,
+    aux,
     snap_tid_sorted,
     snap_perm,
     snap_pack,
-    prior_R,
-    prior_t,
     intr,
     key,
+    *,
+    n_mvs,
     reproj_err,
     threshold,
     coverage_threshold,
     capacity,
     max_cov,
 ):
+    """Fused per-frame program. Remote-TPU transfer budget per frame:
+    3 uploads (img, mvk_pack, aux) + 1 dispatch + 3 pulls. mvk_pack is the
+    `MotionVectorImage.packed_joint()` layout ((M+K, 8), rows [0:n_mvs] =
+    MVs, rest = kps); aux packs [prior_R(9), prior_t(3), coverage_area];
+    per-run constants (reproj/threshold/coverage) are static; the PRNG key
+    chains on-device (out["key"] feeds the next frame — no eager split RPC).
+    """
     from ..core.extractor import _p_frame_body
+
+    mv_pack = mvk_pack[:n_mvs]
+    kps_pack = mvk_pack[n_mvs:, 0:5]
+    prior_R = aux[0:9].reshape(3, 3)
+    prior_t = aux[9:12]
+    coverage_area = aux[12]
+    key_out, key = jax.random.split(key)
 
     H, W = img.shape
     snap_pos = snap_pack[:, 0:3]
@@ -194,6 +213,7 @@ def tracked_frame_step(
 
     return {
         "state": state,  # stays device-resident for the next frame
+        "key": key_out,  # PRNG chain stays device-resident too
         "packed": packed,
         "scalars": scalars,
         "snap_visible": snap_visible,
