@@ -166,16 +166,18 @@ class System:
             Rv, tv = tr.velocity
             R_prior = Rv @ R_prior
             t_prior = Rv @ t_prior + tv
-        aux = np.empty(13, np.float32)
-        aux[0:9] = np.asarray(R_prior, np.float32).reshape(-1)
-        aux[9:12] = t_prior
-        aux[12] = smv.coverage_area
+        # aux rides as two trailer rows of mvk_pack: ONE upload for all
+        # per-frame data (img aside).
+        trailer = np.zeros((2, 8), np.float32)
+        trailer.reshape(-1)[0:9] = np.asarray(R_prior, np.float32).reshape(-1)
+        trailer.reshape(-1)[9:12] = t_prior
+        trailer.reshape(-1)[12] = smv.coverage_area
         out = tracked_frame_step(
             img_dev,
             self._prev_img,
             self._prev_state,
-            jnp.asarray(mvk_pack),
-            jnp.asarray(aux),
+            jnp.asarray(np.concatenate([mvk_pack, trailer])),
+            None,
             snap.tid_sorted, snap.perm, snap.pack,
             tr._intr,
             tr._pnp_key,
@@ -188,11 +190,13 @@ class System:
         )
         tr._pnp_key = out["key"]
         state = out["state"]
-        # Three pulls total (device_get is one RPC per pytree LEAF on the
-        # remote TPU, so everything is packed into arrays).
-        packed = np.asarray(out["packed"])
-        scal = np.asarray(out["scalars"])
-        vis = np.asarray(out["snap_visible"])
+        # ONE pull (device_get is one RPC per pytree LEAF on the remote TPU):
+        # wire = N*14 packed | 15 scalars | P visibility flags.
+        wire = np.asarray(out["wire"])
+        N = self.extractor.capacity
+        packed = wire[: N * 14].reshape(N, 14)
+        scal = wire[N * 14 : N * 14 + 15]
+        vis = wire[N * 14 + 15 :] > 0
         frame = Frame.from_packed(
             packed, timestamp=timestamp, image=smv.im_gray, fid=self.image_count
         )

@@ -92,14 +92,19 @@ def tracked_frame_step(
     max_cov,
 ):
     """Fused per-frame program. Remote-TPU transfer budget per frame:
-    3 uploads (img, mvk_pack, aux) + 1 dispatch + 3 pulls. mvk_pack is the
-    `MotionVectorImage.packed_joint()` layout ((M+K, 8), rows [0:n_mvs] =
-    MVs, rest = kps); aux packs [prior_R(9), prior_t(3), coverage_area];
-    per-run constants (reproj/threshold/coverage) are static; the PRNG key
+    2 uploads (img, mvk_pack) + 1 dispatch + 1 pull (the "wire" buffer).
+    mvk_pack is the `MotionVectorImage.packed_joint()` layout plus two
+    trailer rows: rows [0:n_mvs] = MVs, rows [n_mvs:-2] = kps, and the last
+    2 rows carry aux = [prior_R(9), prior_t(3), coverage_area] flattened
+    (pass aux=None to use them; a separate (13,) aux is also accepted).
+    Per-run constants (reproj/threshold/coverage) are static; the PRNG key
     chains on-device (out["key"] feeds the next frame — no eager split RPC).
     """
     from ..core.extractor import _p_frame_body
 
+    if aux is None:
+        aux = mvk_pack[-2:].reshape(-1)[0:13]
+        mvk_pack = mvk_pack[:-2]
     mv_pack = mvk_pack[:n_mvs]
     kps_pack = mvk_pack[n_mvs:, 0:5]
     prior_R = aux[0:9].reshape(3, 3)
@@ -211,9 +216,15 @@ def tracked_frame_step(
         ]
     )
 
+    # ONE pull: everything the host needs in a single flat buffer
+    # (device_get is one RPC per pytree leaf on remote TPUs).
+    wire = jnp.concatenate(
+        [packed.reshape(-1), scalars, snap_visible.astype(jnp.float32)]
+    )
     return {
         "state": state,  # stays device-resident for the next frame
         "key": key_out,  # PRNG chain stays device-resident too
+        "wire": wire,    # host splits: N*14 packed | 15 scalars | P visible
         "packed": packed,
         "scalars": scalars,
         "snap_visible": snap_visible,
