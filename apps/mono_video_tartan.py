@@ -48,6 +48,15 @@ def main(argv):
     if "--viewer" in argv:
         viewer_dir = argv[argv.index("--viewer") + 1]
 
+    if "--cpu" in argv:
+        # Local verification: force the CPU backend + persistent compile
+        # cache (the image's sitecustomize pins the tunneled TPU platform;
+        # the config API wins when applied before first jax use).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/movslam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from movslam_tpu.core.system import System
 
     slam = System(settings_path, System.MONOCULAR, use_viewer=viewer_dir is not None)
@@ -58,16 +67,33 @@ def main(argv):
 
     n = 0
     t_start = time.perf_counter()
-    for smv in frames:
-        if smv is None:
-            break
-        t0 = time.perf_counter()
-        slam.track_monocular(smv.timestamp, smv)
-        n += 1
-        if realtime:
+    if realtime:
+        # Real-time pacing (reference mono_video_tartan.cc:73-93): one frame
+        # per 1/fps budget, per-frame dispatch.
+        for smv in frames:
+            if smv is None:
+                break
+            t0 = time.perf_counter()
+            slam.track_monocular(smv.timestamp, smv)
+            n += 1
             budget = 1.0 / fps - (time.perf_counter() - t0)
             if budget > 0:
                 time.sleep(budget)
+    else:
+        # Throughput mode: consume the decoder's lookahead in W-frame
+        # windows (one device dispatch per window, ops/window_step).
+        batch = []
+        for smv in frames:
+            if smv is None:
+                break
+            batch.append((smv.timestamp, smv))
+            if len(batch) >= slam.window:
+                slam.track_monocular_batch(batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            slam.track_monocular_batch(batch)
+            n += len(batch)
     wall = time.perf_counter() - t_start
 
     slam.shutdown()

@@ -50,6 +50,15 @@ def main(argv):
     if len(argv) < 3:
         print("Usage: stereo_video_tartan.py <settings.yaml> <stream> [--realtime]")
         return 1
+    if "--cpu" in argv:
+        # Local verification: force the CPU backend + persistent compile
+        # cache (the image's sitecustomize pins the tunneled TPU platform;
+        # the config API wins when applied before first jax use).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/movslam_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from movslam_tpu.core.system import System
 
     slam = System(argv[1], System.STEREO)
@@ -57,14 +66,27 @@ def main(argv):
     fps = slam.get_fps()
     n = 0
     t_start = time.perf_counter()
-    for left, right in open_stereo_stream(argv[2], fps):
-        t0 = time.perf_counter()
-        slam.track_stereo(left.timestamp, left, right)
-        n += 1
-        if realtime:
+    if realtime:
+        for left, right in open_stereo_stream(argv[2], fps):
+            t0 = time.perf_counter()
+            slam.track_stereo(left.timestamp, left, right)
+            n += 1
             budget = 1.0 / fps - (time.perf_counter() - t0)
             if budget > 0:
                 time.sleep(budget)
+    else:
+        # Throughput mode: W-frame stereo windows (one dispatch per window;
+        # depth is computed on device inside the same program).
+        batch = []
+        for left, right in open_stereo_stream(argv[2], fps):
+            batch.append((left.timestamp, left, right))
+            if len(batch) >= slam.window:
+                slam.track_stereo_batch(batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            slam.track_stereo_batch(batch)
+            n += len(batch)
     wall = time.perf_counter() - t_start
 
     slam.shutdown()

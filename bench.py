@@ -41,15 +41,24 @@ def main():
     frames = [stream.frame(k) for k in range(n_warm + n_timed)]
 
     # Threaded mapper (the reference topology): keyframe cadence adapts to
-    # real mapper latency instead of spawning one per frame.
+    # real mapper latency instead of spawning one per frame. The drive feeds
+    # W-frame batches (the decoder's lookahead queue always holds a window,
+    # VideoDecoder.cc:163-368) so OK-state runs take the windowed
+    # W-frames-per-dispatch program (ops/window_step).
     system = System(s, MONOCULAR, async_mapping=True)
-    for k in range(n_warm):
-        system.track_monocular(frames[k].timestamp, frames[k])
+    W = system.window
+    items = [(f.timestamp, f) for f in frames]
+    k = 0
+    while k < n_warm:
+        system.track_monocular_batch(items[k : k + W])
+        k += W
 
     t0 = time.perf_counter()
-    for k in range(n_warm, n_warm + n_timed):
-        system.track_monocular(frames[k].timestamp, frames[k])
+    while k < n_warm + n_timed:
+        system.track_monocular_batch(items[k : k + W])
+        k += W
     dt = time.perf_counter() - t0
+    n_timed = k - n_warm
     system.shutdown()
 
     fps = n_timed / dt

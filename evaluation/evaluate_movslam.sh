@@ -10,5 +10,5 @@ OUT=${4:-eval_out}
 mkdir -p "$OUT"
 cd "$OUT"
 python "$(dirname "$0")/../apps/mono_video_tartan.py" "$SETTINGS" "$STREAM"
-python "$(dirname "$0")/evaluator.py" "$GT" TrajectoryKITTIKeyFrame.txt --fmt kitti | tee eval.json
+python "$(dirname "$0")/evaluator.py" "$GT" TrajectoryKITTIKeyFrame.txt --fmt kitti --plot results.png | tee eval.json
 cp results.txt eval_results.txt 2>/dev/null || true

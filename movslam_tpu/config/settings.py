@@ -16,6 +16,9 @@ from ..core.camera import Pinhole
 
 MONOCULAR = 0
 STEREO = 1
+# Visual-inertial monocular (a capability axis the reference plumbs but never
+# feeds — ImuTypes.h:139-249 has no GrabImuData call sites; we complete it).
+IMU_MONOCULAR = 3
 
 
 class SettingsError(RuntimeError):
@@ -72,6 +75,14 @@ class Settings:
     # viewer
     viewer: dict = dataclasses.field(default_factory=dict)
     sensor: int = MONOCULAR
+    # IMU (visual-inertial): noise densities + random walks; EuRoC-style
+    # defaults. Parsed from optional IMU.* YAML keys (the reference declares
+    # Settings::readIMU but never defines/calls it, Settings.h:159).
+    imu_noise_gyro: float = 1.7e-4
+    imu_noise_acc: float = 2e-3
+    imu_gyro_walk: float = 1.9e-5
+    imu_acc_walk: float = 3e-3
+    imu_frequency: float = 200.0
 
     @staticmethod
     def from_yaml(path, sensor=MONOCULAR):
@@ -155,6 +166,12 @@ class Settings:
         s.th_far_points = opt("System.thFarPoints", 0.0)
         s.load_atlas = opt("System.LoadAtlasFromFile", None, str)
         s.save_atlas = opt("System.SaveAtlasToFile", None, str)
+
+        s.imu_noise_gyro = opt("IMU.NoiseGyro", s.imu_noise_gyro)
+        s.imu_noise_acc = opt("IMU.NoiseAcc", s.imu_noise_acc)
+        s.imu_gyro_walk = opt("IMU.GyroWalk", s.imu_gyro_walk)
+        s.imu_acc_walk = opt("IMU.AccWalk", s.imu_acc_walk)
+        s.imu_frequency = opt("IMU.Frequency", s.imu_frequency)
 
         s.viewer = {k: v for k, v in d.items() if k.startswith("Viewer.")}
         return s

@@ -65,6 +65,21 @@ class Pinhole:
         out = np.stack([x * self.fx + self.cx, y * self.fy + self.cy], axis=-1)
         return out.astype(np.float32)
 
+    def undistorted_bounds(self):
+        """(minx, maxx, miny, maxy) of the undistorted image — the reference's
+        mnMinX/mnMaxX/mnMinY/mnMaxY (Frame::ComputeImageBounds)."""
+        if not self.dist or not any(self.dist):
+            return (0.0, float(self.width), 0.0, float(self.height))
+        corners = np.array(
+            [[0.0, 0.0], [self.width, 0.0], [0.0, self.height],
+             [self.width, self.height]], np.float32,
+        )
+        cu = self.undistort_points(corners)
+        return (
+            float(min(cu[0, 0], cu[2, 0])), float(max(cu[1, 0], cu[3, 0])),
+            float(min(cu[0, 1], cu[1, 1])), float(max(cu[2, 1], cu[3, 1])),
+        )
+
     def in_image(self, uv, margin=0):
         return (
             (uv[..., 0] >= margin)

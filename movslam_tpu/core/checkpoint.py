@@ -60,8 +60,13 @@ def load_atlas(filename):
     atlas.maps.clear()
     max_kf_id = -1
     max_mp_id = -1
+    max_map_id = -1
     for mrec in data["maps"]:
         m = Map()
+        # Restore the saved map id: kf.map_id/mp.map_id reference it
+        # (map_merge.py keeps these aligned); a fresh id would orphan them.
+        m.id = mrec["id"]
+        max_map_id = max(max_map_id, m.id)
         m.init_kf_id = mrec["init_kf_id"]
         kf_by_id = {}
         for r in mrec["keyframes"]:
@@ -122,4 +127,5 @@ def load_atlas(filename):
 
     KeyFrame._next_id = itertools.count(max_kf_id + 1)
     MapPoint._next_id = itertools.count(max_mp_id + 1)
+    Map._next_id = itertools.count(max_map_id + 1)
     return atlas

@@ -14,7 +14,8 @@ import numpy as np
 
 class Frame:
     __slots__ = (
-        "id", "timestamp", "pts", "track_ids", "desc", "ages", "R", "t",
+        "id", "timestamp", "pts", "pts_raw", "track_ids", "desc", "ages",
+        "R", "t",
         "mappoints", "outlier", "image", "reference_kf", "lost", "pose_set",
         "depth_right", "uright", "track_index", "cap_rows",
         "_fused_matched", "_fused_inlier", "_fused_midx",
@@ -22,7 +23,8 @@ class Frame:
 
     _next_id = itertools.count()
 
-    def __init__(self, track_state=None, timestamp=0.0, image=None, fid=None):
+    def __init__(self, track_state=None, timestamp=0.0, image=None, fid=None,
+                 camera=None):
         # fid: per-session frame index (used for trajectory association);
         # falls back to a process-global counter.
         self.id = next(Frame._next_id) if fid is None else fid
@@ -38,13 +40,19 @@ class Frame:
 
         if track_state is not None:
             d = track_state.to_numpy()
-            self.pts = d["pt"].astype(np.float64)
+            self.pts_raw = d["pt"].astype(np.float64)
+            # Geometry view: undistorted keypoints (mvKeysUn, Frame.cc:682).
+            if camera is not None and camera.dist and any(camera.dist):
+                self.pts = camera.undistort_points(self.pts_raw).astype(np.float64)
+            else:
+                self.pts = self.pts_raw
             self.track_ids = d["track_id"].astype(np.int64)
             self.desc = d["desc"]
             self.ages = d["age"]
             self.cap_rows = d["rows"]  # compacted slot -> device capacity row
         else:
             self.pts = np.zeros((0, 2))
+            self.pts_raw = self.pts
             self.track_ids = np.zeros((0,), np.int64)
             self.desc = np.zeros((0, 8), np.uint32)
             self.ages = np.zeros((0,), np.int32)
@@ -63,21 +71,25 @@ class Frame:
         return len(self.track_ids)
 
     @staticmethod
-    def from_packed(packed, timestamp=0.0, image=None, fid=None):
+    def from_packed(packed, timestamp=0.0, image=None, fid=None, stereo=False):
         """Build from the fused frame program's single packed export
         (ops/frame_step: pt(2) tid(1,i32 bits) age(1) desc(8,u32 bits)
-        match_idx(1) flags(1))."""
+        match_idx(1) flags(1) pt_un(2) depth(1) ur(1))."""
         f = Frame(None, timestamp=timestamp, image=image, fid=fid)
         flags = packed[:, 13].astype(np.int64)
         valid = (flags & 4) != 0
         rows = np.flatnonzero(valid)
         sel = packed[rows]
-        f.pts = sel[:, 0:2].astype(np.float64)
+        f.pts_raw = sel[:, 0:2].astype(np.float64)
+        f.pts = sel[:, 14:16].astype(np.float64)  # undistorted (geometry)
         f.track_ids = np.ascontiguousarray(sel[:, 2], np.float32).view(np.int32).astype(np.int64)
         f.ages = sel[:, 3].astype(np.int32)
         f.desc = np.ascontiguousarray(sel[:, 4:12], np.float32).view(np.uint32)
         f.cap_rows = rows
         n = len(rows)
+        if stereo:
+            f.depth_right = sel[:, 16].astype(np.float64)
+            f.uright = sel[:, 17].astype(np.float64)
         f.mappoints = [None] * n
         f.outlier = np.zeros(n, bool)
         f.track_index = {}

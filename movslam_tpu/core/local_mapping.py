@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.ba import ba_solve, ba_solve_packed, build_obs_by_point
+from ..ops.ba import ba_solve, ba_solve_packed, ba_solve_wire, build_obs_by_point
 from ..ops.triangulate import triangulate, triangulate_pairs_padded
 from .map import KeyFrame, MapPoint, update_normals_batch
 from .matcher import fuse, search_for_triangulation
@@ -164,6 +164,32 @@ def assemble_ba_problem(kfs, n_opt, mps, init_kf_id, K, mopp=MOPP,
     }
 
 
+def problem_wire(prob):
+    """Flatten an assembled BA problem into the single-upload wire layout of
+    ops.ba.ba_solve_wire. Returns (wire f32, (K, P, O, MOPP))."""
+    kf_pack, mp_pack = prob["kf_pack"], prob["mp_pack"]
+    obs_pack, obp = prob["obs_pack"], prob["obp"]
+    wire = np.concatenate(
+        [
+            kf_pack.reshape(-1), mp_pack.reshape(-1),
+            obs_pack.reshape(-1), obp.reshape(-1).astype(np.float32),
+        ]
+    )
+    return wire, (kf_pack.shape[0], mp_pack.shape[0], obs_pack.shape[0], obp.shape[1])
+
+
+def split_ba_wire(out, K, P, O):
+    """Split ba_solve_wire's flat result back into (out_kf, out_mp, out_obs)."""
+    out = np.asarray(out)
+    o0 = K * 12
+    o1 = o0 + P * 3
+    return (
+        out[:o0].reshape(K, 12),
+        out[o0:o1].reshape(P, 3),
+        out[o1:].reshape(O, 2),
+    )
+
+
 def commit_ba_result(res, obs_meta, kfs, mps, kf_fixed, m):
     """Prune chi2>5 / negative-depth observations and write optimized
     poses/points back into the map graph (Optimizer.cc:761-841). Caller
@@ -184,9 +210,14 @@ def commit_ba_result(res, obs_meta, kfs, mps, kf_fixed, m):
     )
     for o in bad_o:
         mp = mps[o_mp[o]]
-        if mp.bad:
+        if mp.bad or mp.replaced_by is not None:
             continue
         kf = kfs[o_kf[o]]
+        # The solve ran asynchronously: fusion/replacement may have re-pointed
+        # this slot to a different point since dispatch — only sever the
+        # association the solve actually judged.
+        if kf.mp_ids[int(o_slot[o])] != mp.id:
+            continue
         kf.erase_mappoint_slot(int(o_slot[o]))
         mp.remove_observation(kf.id)
 
@@ -195,38 +226,108 @@ def commit_ba_result(res, obs_meta, kfs, mps, kf_fixed, m):
             kf.set_pose(R_out[i], t_out[i])
     alive = []
     for j, mp in enumerate(mps):
-        if not mp.bad:
+        # Skip points replaced since dispatch: their optimized position was
+        # computed against poses that no longer own them.
+        if not mp.bad and mp.replaced_by is None:
             mp.pos = X_out[j]
             alive.append(mp)
     update_normals_batch(alive, m)
     m.bump_change()
 
 
+# Global-BA capacities: bucketed keyframe counts (one compile per bucket)
+# and larger point/observation caps than local BA. The dense Schur system at
+# K=512 is a 3072x3072 solve — comfortable MXU territory.
+GBA_KF_BUCKETS = (48, 96, 192, 384, 512)
+GBA_MAX_MP = 16384
+GBA_MAX_OBS = 65536
+
+
 def global_bundle_adjustment(m, camera, bf=0.0, iters=20, map_lock=None):
     """Full-map bundle adjustment (Optimizer::BundleAdjustment /
     System::GlobalBundleAdjustment, Optimizer.cc:61-395 + System.cc:162-169):
-    every good keyframe optimized (origin fixed), every good map point, 20 LM
-    iterations, synchronous writeback."""
+    EVERY good keyframe optimized (origin fixed), every good map point, 20 LM
+    iterations, synchronous writeback. Keyframe count is bucketed (a handful
+    of compiled shapes); maps beyond the largest bucket run in overlapping
+    windows so every keyframe still gets optimized (each window anchored by
+    the keyframes shared with the previous one)."""
+    from .verbose import Verbose
+
     kfs = sorted(
         (kf for kf in m.keyframes.values() if not kf.bad), key=lambda k: k.id
     )
-    max_kf = MAX_OPT_KF + MAX_FIX_KF
-    kfs = kfs[-max_kf:] if len(kfs) > max_kf else kfs
-    mps = [mp for mp in m.mappoints.values() if not mp.bad]
-    prob = assemble_ba_problem(kfs, len(kfs), mps, m.init_kf_id, max_kf)
+    if not kfs:
+        return
+    max_kf = GBA_KF_BUCKETS[-1]
+    if len(kfs) <= max_kf:
+        windows = [(kfs, 0)]  # (kf list, number of leading fixed anchors)
+    else:
+        # Overlapping windows: each subsequent window holds `overlap` already
+        # -optimized keyframes fixed as gauge anchors.
+        overlap = 64
+        step = max_kf - overlap
+        windows = [(kfs[:max_kf], 0)]
+        i = step
+        while i + overlap < len(kfs):
+            windows.append((kfs[i : i + max_kf], overlap))
+            i += step
+        Verbose.log(
+            f"GlobalBA: {len(kfs)} keyframes -> {len(windows)} overlapping "
+            f"windows of <= {max_kf}"
+        )
+
+    for w_kfs, n_anchor in windows:
+        _gba_window(m, camera, w_kfs, n_anchor, bf, iters, map_lock)
+
+
+def _gba_window(m, camera, kfs, n_anchor, bf, iters, map_lock):
+    """One global-BA window: kfs[:n_anchor] fixed (gauge anchors from the
+    previous window; 0 for the first window where the init/first KF anchors),
+    everything else optimized."""
+    from .verbose import Verbose
+
+    K = _bucket(len(kfs), GBA_KF_BUCKETS[0], GBA_KF_BUCKETS[-1])
+    kf_ids = {kf.id for kf in kfs}
+    mps = []
+    seen = set()
+    for kf in kfs:
+        for mid in kf.mp_ids:
+            if mid >= 0 and mid not in seen:
+                seen.add(int(mid))
+                mp = m.mappoints.get(int(mid))
+                if mp is not None and not mp.bad:
+                    mps.append(mp)
+    if len(mps) > GBA_MAX_MP:
+        Verbose.log(
+            f"GlobalBA: truncating {len(mps)} map points to {GBA_MAX_MP}"
+        )
+        mps = mps[:GBA_MAX_MP]
+
+    # Gauge: the init KF when present, else the window's first KF (ADVICE
+    # round-1: a truncated window without the init KF was gauge-free).
+    anchor_id = m.init_kf_id if m.init_kf_id in kf_ids else kfs[0].id
+    # Order so fixed anchors land in the tail (assemble fixes kfs[n_opt:]).
+    opt_kfs = [kf for kf in kfs[n_anchor:]]
+    fix_kfs = [kf for kf in kfs[:n_anchor]]
+    ordered = opt_kfs + fix_kfs
+    prob = assemble_ba_problem(
+        ordered, len(opt_kfs), mps, anchor_id, K,
+        p_lo=512, p_hi=GBA_MAX_MP, o_lo=2048, o_hi=GBA_MAX_OBS,
+    )
     if prob is None:
         return
-    res = ba_solve_packed(
-        jnp.asarray(prob["kf_pack"]), jnp.asarray(prob["mp_pack"]),
-        jnp.asarray(prob["obs_pack"]), jnp.asarray(prob["obp"]),
+    wire, (Kw, Pw, Ow, MOPPw) = problem_wire(prob)
+    res_wire = ba_solve_wire(
+        jnp.asarray(wire),
         jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy], jnp.float32),
-        bf, iters=iters,
+        bf, K=Kw, P=Pw, O=Ow, MOPP=MOPPw, iters=iters,
     )
+    res = split_ba_wire(res_wire, Kw, Pw, Ow)
     if map_lock is not None:
         map_lock.acquire()
     try:
         commit_ba_result(
-            res, prob["obs_meta"], kfs, prob["mps"], prob["kf_fixed"], m
+            res, prob["obs_meta"], ordered, prob["mps"], prob["kf_fixed"], m
         )
     finally:
         if map_lock is not None:
@@ -256,6 +357,12 @@ class LocalMapping:
         # the culling gate. cooldown counts frames until idle again.
         self.cooldown = 0
         self.busy_frames = 0  # 0 = keyframe whenever the mapper is idle (fast-mapper behavior)
+        # Throttle mode: "latency" polls the pending async BA's readiness
+        # (wall-clock adaptive — right for the per-frame real-time drive);
+        # "frames" uses the busy_frames cooldown only (deterministic — right
+        # for the windowed drive, where W frames replay in microseconds and a
+        # wall-clock poll would starve keyframe creation for whole windows).
+        self.throttle_mode = "latency"
         # Threaded mode (reference LocalMapping thread, System.cc:129):
         # Tracking and the mapper share map_lock (the reference's
         # mMutexMapUpdate, Map.h:137); device waits happen outside it.
@@ -264,6 +371,13 @@ class LocalMapping:
         self._finish = False
         self._processing = False
         self.enable_merge = True
+        # Visual-inertial hook (core/inertial.py): set by System when the
+        # sensor is IMU_MONOCULAR. The reference's equivalent —
+        # LocalMapping::ScaleRefinement -> InertialOptimization — is never
+        # called there (LocalMapping.cc:804-857).
+        self.imu_buffer = None
+        self.imu_noise = (1.7e-4, 2e-3)
+        self.vi_min_kfs = 6
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
@@ -286,13 +400,14 @@ class LocalMapping:
         like the reference's thread timing."""
         if len(self.queue) != 0 or self.cooldown != 0 or self._processing:
             return False
-        pending = getattr(self, "_pending_ba", None)
-        if pending is not None:
-            try:
-                if not all(x.is_ready() for x in pending["res"]):
-                    return False
-            except AttributeError:
-                pass
+        if self.throttle_mode == "latency":
+            pending = getattr(self, "_pending_ba", None)
+            if pending is not None:
+                try:
+                    if not all(x.is_ready() for x in pending["res"]):
+                        return False
+                except AttributeError:
+                    pass
         return True
 
     # --- threaded mode (reference LocalMapping::Run, LocalMapping.cc:50-115)
@@ -358,6 +473,28 @@ class LocalMapping:
             self._local_ba(m)  # async dispatch; writeback at next commit
             self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
             self.lba_count += 1
+
+        # Visual-inertial gravity/scale initialization (the reference's
+        # ScaleRefinement hook, completed): once enough keyframes carry IMU
+        # evidence, solve gravity + metric scale + velocities + biases with
+        # poses fixed, then re-express the map metric & gravity-aligned.
+        # Staged refinement like ORB-SLAM3's repeated inertial inits: the
+        # first solve sees a short weakly-exciting baseline; re-running at
+        # 2x and 4x the keyframe count tightens scale and gravity.
+        if self.imu_buffer is not None:
+            stage = getattr(m, "imu_init_count", 0)
+            if stage < 3 and m.n_keyframes() >= self.vi_min_kfs * (2 ** stage):
+                from .inertial import visual_inertial_init
+
+                self._commit_pending_ba()  # pre-scale BA must land first
+                with self.map_lock:
+                    res = visual_inertial_init(
+                        m, list(m.keyframes.values()), self.imu_buffer,
+                        noise_gyro=self.imu_noise[0],
+                        noise_acc=self.imu_noise[1],
+                    )
+                if res is not None:
+                    m.imu_init_count = stage + 1
 
         # Multi-map welding: when tracking loss spawned a new map and enough
         # shared tracks exist, merge it back (Sim3 + pose-graph relaxation) —
@@ -446,6 +583,22 @@ class LocalMapping:
                 P2s.append(P2)
         if not cand:
             return
+
+        # triangulate_pairs_padded's largest bucket is 8192; truncate the
+        # candidate list to the same cap HERE so the per-candidate masks
+        # below stay aligned with the device result (no silent caps: log).
+        from ..ops.triangulate import _PAIR_BUCKETS
+
+        cap = _PAIR_BUCKETS[-1]
+        if len(cand) > cap:
+            from .verbose import Verbose
+
+            Verbose.log(
+                f"LocalMapping: truncating {len(cand)} triangulation "
+                f"candidates to {cap}"
+            )
+            cand = cand[:cap]
+            P2s = P2s[:cap]
 
         uv1 = np.stack([kf1.pts[a] for (_, a, _) in cand])
         uv2 = np.stack([kf2.pts[b] for (kf2, _, b) in cand])
@@ -655,11 +808,14 @@ class LocalMapping:
         if prob is None:
             return
         cam = self.camera
-        res = ba_solve_packed(
-            jnp.asarray(prob["kf_pack"]), jnp.asarray(prob["mp_pack"]),
-            jnp.asarray(prob["obs_pack"]), jnp.asarray(prob["obp"]),
+        # Single-transfer dispatch: ONE upload (the fused problem wire), ONE
+        # eventual pull (the fused result wire) — round trips dominate per-KF
+        # mapper cost on remote TPUs.
+        wire, (K, P, O, MOPP_) = problem_wire(prob)
+        res_wire = ba_solve_wire(
+            jnp.asarray(wire),
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
-            self.bf,
+            self.bf, K=K, P=P, O=O, MOPP=MOPP_,
         )
 
         # Pipelined commit: the solve was dispatched asynchronously; results
@@ -668,7 +824,8 @@ class LocalMapping:
         # in between — the TPU-native version of the reference's mapper
         # thread overlapping the tracking thread (System.cc:129).
         self._pending_ba = {
-            "res": res, "obs_meta": prob["obs_meta"], "kfs": kfs,
+            "res": (res_wire,), "shape": (K, P, O),
+            "obs_meta": prob["obs_meta"], "kfs": kfs,
             "mps": prob["mps"], "kf_fixed": prob["kf_fixed"], "map": m,
         }
 
@@ -686,7 +843,10 @@ class LocalMapping:
 
         # Device wait happens OUTSIDE the map lock (the pull blocks until
         # the solve finishes); only the graph writeback is locked.
-        res = tuple(np.asarray(x) for x in res)
+        if "shape" in pending:
+            res = split_ba_wire(res[0], *pending["shape"])
+        else:
+            res = tuple(np.asarray(x) for x in res)
         with self.map_lock:
             commit_ba_result(
                 res, pending["obs_meta"], kfs, mps, kf_fixed, m

@@ -182,7 +182,8 @@ class KeyFrame:
     __slots__ = (
         "id", "frame_id", "timestamp", "R", "t", "track_ids", "pts", "desc",
         "ages", "mp_ids", "image", "covis", "parent", "children", "bad",
-        "map_id", "prev_kf", "next_kf", "depth_right", "uright",
+        "map_id", "prev_kf", "next_kf", "depth_right", "uright", "Tcp",
+        "velocity", "bias_g", "bias_a",
     )
 
     _next_id = itertools.count()
@@ -214,6 +215,15 @@ class KeyFrame:
             frame.depth_right.copy() if frame.depth_right is not None else None
         )
         self.uright = frame.uright.copy() if frame.uright is not None else None
+        # Pose relative to parent at cull time (the reference's mTcp,
+        # KeyFrame::SetBadFlag): lets trajectory savers recover culled KF
+        # poses through the parent chain (System.cc:760-766).
+        self.Tcp = None
+        # Inertial state (set by core.inertial after VI initialization; the
+        # reference carries the same fields unfed, KeyFrame.h/ImuTypes).
+        self.velocity = None
+        self.bias_g = None
+        self.bias_a = None
 
     # --- pose ---------------------------------------------------------
     def center(self):
@@ -310,7 +320,21 @@ class KeyFrame:
             other = mp_map.keyframes.get(kf_id)
             if other is not None:
                 other.covis.pop(self.id, None)
+        # Record T_cp = T_cw * T_pw^-1 so savers can recover this pose via
+        # the parent chain (KeyFrame::SetBadFlag mTcp; System.cc:760-766).
+        anchor = self.parent or self.prev_kf
+        if anchor is not None:
+            R_cp = self.R @ anchor.R.T
+            t_cp = self.t - R_cp @ anchor.t
+            self.Tcp = (R_cp, t_cp)
+            for ch_id in self.children:
+                ch = mp_map.keyframes.get(ch_id)
+                if ch is not None and ch.parent is self:
+                    ch.parent = anchor
+                    anchor.children.add(ch_id)
+            self.children.clear()
         mp_map.keyframes.pop(self.id, None)
+        mp_map.culled_keyframes[self.id] = self
 
 
 class Map:
@@ -322,7 +346,12 @@ class Map:
         self.id = next(Map._next_id)
         self.keyframes = {}
         self.mappoints = {}
+        self.culled_keyframes = {}  # id -> bad KF (poses via Tcp chain)
         self.init_kf_id = -1
+        # Inertial flags (reference Map.h IMU init flags).
+        self.imu_initialized = False
+        self.imu_scale = 1.0
+        self.imu_init_count = 0
         self.change_index = 0
         self.last_change_consumed = 0
         self.kf_origins = []
@@ -347,6 +376,7 @@ class Map:
     def clear(self):
         self.keyframes.clear()
         self.mappoints.clear()
+        self.culled_keyframes.clear()
         self.init_kf_id = -1
         self.kf_origins = []
 

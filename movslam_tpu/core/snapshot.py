@@ -18,14 +18,17 @@ I32MAX = np.iinfo(np.int32).max
 
 
 class MapSnapshot:
-    """Immutable device view of the local map + the aligned host objects."""
+    """Immutable device view of the local map + the aligned host objects.
 
-    __slots__ = ("tid_sorted", "perm", "pack", "mps", "version")
+    The device image is ONE fused (P, 12) f32 upload (one RPC per republish
+    on remote TPUs): cols 0:10 = pack [pos(3) normal(3) mind maxd valid ref],
+    col 10 = sorted track ids (i32 bits), col 11 = sort permutation (exact as
+    f32 below 2^24). tid_sorted/perm/pack views are device-side slices."""
 
-    def __init__(self, tid_sorted, perm, pack, *_unused, mps=None, version=0):
-        self.tid_sorted = tid_sorted
-        self.perm = perm
-        self.pack = pack  # (P, 10): pos(3) normal(3) mind maxd valid ref
+    __slots__ = ("fused", "mps", "version")
+
+    def __init__(self, fused, mps=None, version=0):
+        self.fused = fused  # (P, 12) single-upload image; split INSIDE jit
         self.mps = mps  # row -> MapPoint (host)
         self.version = version
 
@@ -72,10 +75,12 @@ def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
     order = np.argsort(tid, kind="stable")
     tid_sorted = tid[order]
 
+    fused = np.zeros((cap, 12), np.float32)
+    fused[:, 0:10] = pack
+    fused[:, 10] = tid_sorted.view(np.float32)  # i32 bits
+    fused[:, 11] = order  # exact below 2^24
     return MapSnapshot(
-        jnp.asarray(tid_sorted),
-        jnp.asarray(order.astype(np.int32)),
-        jnp.asarray(pack),
+        jnp.asarray(fused),
         mps=mps,
         version=m.change_index,
     )

@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from ..config.settings import MONOCULAR, STEREO, Settings
+from ..config.settings import IMU_MONOCULAR, MONOCULAR, STEREO, Settings
 from ..io.mvimage import MotionVectorImage
 from .extractor import MOVExtractor
 from .frame import Frame
@@ -29,6 +29,7 @@ from .verbose import Verbose
 class System:
     MONOCULAR = MONOCULAR
     STEREO = STEREO
+    IMU_MONOCULAR = IMU_MONOCULAR
 
     def __init__(self, settings_file, sensor=MONOCULAR, use_viewer=False,
                  init_frame=0, sequence="", video_tracking=True,
@@ -46,7 +47,7 @@ class System:
         self.mapper = LocalMapping(
             self.atlas,
             self.settings.camera1,
-            monocular=(sensor == MONOCULAR),
+            monocular=(sensor != STEREO),
             far_points=self.settings.th_far_points,
             bf=self.settings.bf,
             stereo_b=self.settings.b,
@@ -66,6 +67,30 @@ class System:
         # Fused one-dispatch frame path (ops/frame_step); legacy per-stage
         # path remains for init/loss states and as a fallback.
         self.fused_frontend = True
+        # Windowed front end (ops/window_step): W frames per device dispatch
+        # when the caller feeds batches (track_monocular_batch). Mirrors the
+        # reference's 12-deep decoder lookahead queue (VideoDecoder.cc:163).
+        self.window = 8
+        # Distortion pack for the device programs: (k1 k2 p1 p2 k3) +
+        # undistorted image bounds (Frame::ComputeImageBounds equivalent).
+        cam = self.settings.camera1
+        self._has_dist = bool(cam.dist and any(cam.dist))
+        d = list(cam.dist) + [0.0] * (5 - len(cam.dist)) if cam.dist else [0.0] * 5
+        bounds = list(cam.undistorted_bounds())
+        self._dist_pack = np.asarray(d[:5] + bounds + [self.settings.bf], np.float32)
+        self._un_bounds = bounds
+
+        # Visual-inertial: per-frame IMU sample buffer + mapper init hook
+        # (core/inertial.py completes the circuit the reference leaves unfed).
+        self.imu_buffer = None
+        if sensor == IMU_MONOCULAR:
+            from .inertial import ImuBuffer
+
+            self.imu_buffer = ImuBuffer()
+            self.mapper.imu_buffer = self.imu_buffer
+            self.mapper.imu_noise = (
+                self.settings.imu_noise_gyro, self.settings.imu_noise_acc
+            )
 
         self.image_count = 0
         self.track_ms = []
@@ -172,31 +197,35 @@ class System:
         trailer.reshape(-1)[0:9] = np.asarray(R_prior, np.float32).reshape(-1)
         trailer.reshape(-1)[9:12] = t_prior
         trailer.reshape(-1)[12] = smv.coverage_area
+        from ..ops.frame_step import PACKED_COLS, N_SCALARS
+
         out = tracked_frame_step(
             img_dev,
             self._prev_img,
             self._prev_state,
             jnp.asarray(np.concatenate([mvk_pack, trailer])),
             None,
-            snap.tid_sorted, snap.perm, snap.pack,
+            snap.fused,
             tr._intr,
             tr._pnp_key,
+            jnp.asarray(self._dist_pack),
             n_mvs=n_mvs,
             reproj_err=float(self.settings.reprojection_error),
             threshold=float(self.extractor.threshold),
             coverage_threshold=float(self.extractor.coverage_threshold),
             capacity=self.extractor.capacity,
             max_cov=512,
+            has_dist=self._has_dist,
         )
         tr._pnp_key = out["key"]
         state = out["state"]
         # ONE pull (device_get is one RPC per pytree LEAF on the remote TPU):
-        # wire = N*14 packed | 15 scalars | P visibility flags.
+        # wire = N*PACKED_COLS packed | N_SCALARS | P visibility flags.
         wire = np.asarray(out["wire"])
         N = self.extractor.capacity
-        packed = wire[: N * 14].reshape(N, 14)
-        scal = wire[N * 14 : N * 14 + 15]
-        vis = wire[N * 14 + 15 :] > 0
+        packed = wire[: N * PACKED_COLS].reshape(N, PACKED_COLS)
+        scal = wire[N * PACKED_COLS : N * PACKED_COLS + N_SCALARS]
+        vis = wire[N * PACKED_COLS + N_SCALARS :] > 0
         frame = Frame.from_packed(
             packed, timestamp=timestamp, image=smv.im_gray, fid=self.image_count
         )
@@ -213,10 +242,219 @@ class System:
         tr.track_fused(frame, host_out, snap)
         return True
 
-    def track_monocular(self, timestamp, smv: MotionVectorImage):
+    # --- windowed front end (W frames / dispatch) -------------------------
+    def _window_eligible(self, smv):
+        tr = self.tracking
+        from ..io.mvimage import FrameType
+
+        return (
+            self.fused_frontend
+            and self.window >= 2
+            and tr.state == State.OK
+            and self._prev_state is not None
+            and self._prev_img is not None
+            and tr.last_frame is not None
+            and tr.last_frame.pose_set
+            and not tr.last_frame.lost
+            and smv.ft != FrameType.I_FRAME
+        )
+
+    def track_monocular_batch(self, items):
+        """Track a batch of (timestamp, smv) pairs; returns one pose (R, t)
+        or None per frame. Eligible P-frame runs in the OK state go through
+        the windowed W-frames-per-dispatch program (ops/window_step); init,
+        loss recovery and I-frames fall back to the per-frame paths. This is
+        the high-throughput drive: the decoder's lookahead queue
+        (VideoDecoder.cc:163-368) always holds a window's worth of frames."""
+        from ..io.mvimage import FrameType
+
+        results = []
+        items = [it if len(it) == 2 else it[:2] for it in items] \
+            if self.imu_buffer is None else self._absorb_imu(items)
+        i = 0
+        while i < len(items):
+            if self._window_eligible(items[i][1]):
+                run = []
+                j = i
+                while (
+                    j < len(items)
+                    and len(run) < self.window
+                    and items[j][1].ft != FrameType.I_FRAME
+                ):
+                    run.append(items[j])
+                    j += 1
+                if len(run) >= 2:
+                    poses, consumed = self._track_window(run)
+                    results.extend(poses[:consumed])
+                    i += consumed
+                    continue
+            results.append(self.track_monocular(*items[i]))
+            i += 1
+        return results
+
+    def _absorb_imu(self, items):
+        """Strip per-item IMU arrays from (ts, smv, imu) batch tuples into
+        the buffer, keyed by the frame ids the items will get."""
+        out = []
+        for k, it in enumerate(items):
+            if len(it) == 3 and it[2] is not None:
+                self.imu_buffer.add(self.image_count + k, it[2])
+            out.append((it[0], it[1]))
+        return out
+
+    def _track_window(self, run):
+        """Dispatch one W-frame window; replay results through Tracking.
+        Returns (poses, consumed): consumed < len(run) when tracking left the
+        OK state mid-window — the device track state is rewound to the last
+        consumed frame and the caller re-feeds the rest per-frame.
+
+        run items: (ts, smv) for mono, (ts, smv, smv_right) for stereo — the
+        stereo window adds the right-image stack and the on-device
+        left->right LK depth (ops/frame_step stage 1c)."""
+        import jax.numpy as jnp
+        from ..ops.window_step import tracked_window_step
+        from .trackstate import TrackState
+
+        stereo = len(run[0]) == 3
+        t0 = time.perf_counter()
+        tr = self.tracking
+        # Windowed drive: deterministic frame-count mapper throttle (the
+        # wall-clock is_ready poll starves KFs when W frames replay in
+        # microseconds; the reference mapper is busy ~1-3 frame times per KF,
+        # LocalMapping.cc:57,106).
+        if self.mapper.throttle_mode != "frames":
+            self.mapper.throttle_mode = "frames"
+            self.mapper.busy_frames = 3
+        self._refresh_snapshot()
+        snap = self._snapshot
+        if snap is None:
+            return [self.track_monocular(*run[0])], 1
+
+        W = len(run)
+        mvks = []
+        n_mvs = None
+        for it in run:
+            smv = it[1]
+            mvk, m = smv.packed_joint()
+            trailer = np.zeros((2, 8), np.float32)
+            trailer.reshape(-1)[12] = smv.coverage_area
+            mvks.append(np.concatenate([mvk, trailer]))
+            n_mvs = m if n_mvs is None else n_mvs
+            assert m == n_mvs, "mixed MV capacities within a window"
+        mvk_stack = jnp.asarray(np.stack(mvks))
+        imgs_dev = jnp.asarray(np.stack([it[1].im_gray for it in run]))
+        imgs_right = (
+            jnp.asarray(np.stack([it[2].im_gray for it in run]))
+            if stereo else None
+        )
+
+        pose_pack = np.zeros(25, np.float32)
+        pose_pack[0:9] = np.asarray(tr.last_frame.R, np.float32).reshape(-1)
+        pose_pack[9:12] = tr.last_frame.t
+        if tr.velocity is not None:
+            Rv, tv = tr.velocity
+            pose_pack[12:21] = np.asarray(Rv, np.float32).reshape(-1)
+            pose_pack[21:24] = tv
+            pose_pack[24] = 1.0
+
+        from ..ops.frame_step import PACKED_COLS, N_SCALARS
+
+        out = tracked_window_step(
+            imgs_dev,
+            self._prev_img,
+            self._prev_state,
+            mvk_stack,
+            jnp.asarray(pose_pack),
+            snap.fused,
+            tr._intr,
+            tr._pnp_key,
+            jnp.asarray(self._dist_pack),
+            n_mvs=n_mvs,
+            reproj_err=float(self.settings.reprojection_error),
+            threshold=float(self.extractor.threshold),
+            coverage_threshold=float(self.extractor.coverage_threshold),
+            imgs_right=imgs_right,
+            capacity=self.extractor.capacity,
+            max_cov=512,
+            has_dist=self._has_dist,
+            has_stereo=stereo,
+        )
+        tr._pnp_key = out["key"]
+
+        # ONE pull for the whole window.
+        wire = np.asarray(out["wire"])
+        N = self.extractor.capacity
+        P = snap.fused.shape[0]
+        o1 = W * N * PACKED_COLS
+        o2 = o1 + W * N_SCALARS
+        packed_w = wire[:o1].reshape(W, N, PACKED_COLS)
+        scal_w = wire[o1:o2].reshape(W, N_SCALARS)
+        vis_w = wire[o2:].reshape(W, P) > 0
+
+        poses = []
+        consumed = 0
+        for k in range(W):
+            ts, smv = run[k][0], run[k][1]
+            scal = scal_w[k]
+            frame = Frame.from_packed(
+                packed_w[k], timestamp=ts, image=smv.im_gray,
+                fid=self.image_count, stereo=stereo,
+            )
+            host_out = {
+                "R": scal[0:9].reshape(3, 3).astype(np.float64),
+                "t": scal[9:12].astype(np.float64),
+                "n_ref_inliers": int(scal[12]),
+                "n_inliers": int(scal[13]),
+                "ok": scal[14] > 0,
+                "snap_visible": vis_w[k],
+            }
+            tr.track_fused(frame, host_out, snap)
+            self.mapper.tick()
+            self.image_count += 1
+            consumed = k + 1
+            if tr.current is not None and tr.current.pose_set:
+                poses.append((tr.current.R, tr.current.t))
+            else:
+                poses.append(None)
+            if self.viewer is not None and tr.current is not None:
+                self.viewer.update(tr.current, smv)
+            if tr.state != State.OK:
+                break
+            # A keyframe created at this frame changes the map (new points,
+            # new reference KF): the rest of the window was tracked against
+            # a now-stale snapshot. Rewind so every consumed frame saw a
+            # current snapshot — identical semantics to the per-frame path,
+            # at the cost of re-dispatching the speculated remainder.
+            if tr.last_kf_frame_id == frame.id and k + 1 < W:
+                break
+
+        if consumed == W and tr.state == State.OK:
+            self._prev_state = out["state"]
+            self._prev_img = imgs_dev[-1]
+        else:
+            # Rewind the device track state to the last consumed frame.
+            k = consumed - 1
+            next_id = int(
+                np.ascontiguousarray(scal_w[k, 15:16]).view(np.int32)[0]
+            )
+            self._prev_state = TrackState.from_packed(packed_w[k], next_id)
+            self._prev_img = imgs_dev[k]
+        self.extractor._next_id_dev = self._prev_state.next_id
+
+        dt = time.perf_counter() - t0
+        self.track_ms.extend([1e3 * dt / consumed] * consumed)
+        return poses, consumed
+
+    def track_monocular(self, timestamp, smv: MotionVectorImage, imu=None):
         """System::TrackMonocular (System.cc:171-234). Returns (R, t) of the
-        current camera-from-world pose or None while initializing/lost."""
-        assert self.sensor == MONOCULAR, "sensor not set to Monocular"
+        current camera-from-world pose or None while initializing/lost.
+
+        imu: optional (N, 7) array of IMU samples [dt gx gy gz ax ay az]
+        covering the interval since the previous frame (IMU_MONOCULAR
+        sensor)."""
+        assert self.sensor in (MONOCULAR, IMU_MONOCULAR), "sensor not Monocular"
+        if self.imu_buffer is not None and imu is not None:
+            self.imu_buffer.add(self.image_count, imu)
         t0 = time.perf_counter()
 
         if self._reset_requested:
@@ -256,7 +494,8 @@ class System:
             state = self.extractor.extract(
                 smv, self._prev_state, self._prev_img, reloc, img_dev=img_dev
             )
-            frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
+            frame = Frame(state, timestamp=timestamp, image=smv.im_gray,
+                          fid=self.image_count, camera=self.settings.camera1)
             self._prev_state = state
             self._prev_img = img_dev
 
@@ -270,6 +509,35 @@ class System:
         if tr.current is not None and tr.current.pose_set:
             return tr.current.R, tr.current.t
         return None
+
+    def track_stereo_batch(self, items):
+        """Track a batch of (timestamp, smv_left, smv_right) triples through
+        the windowed stereo program when eligible (mirrors
+        track_monocular_batch; stereo depth is computed on device inside the
+        same dispatch, ops/frame_step stage 1c)."""
+        from ..io.mvimage import FrameType
+
+        results = []
+        i = 0
+        while i < len(items):
+            if self._window_eligible(items[i][1]):
+                run = []
+                j = i
+                while (
+                    j < len(items)
+                    and len(run) < self.window
+                    and items[j][1].ft != FrameType.I_FRAME
+                ):
+                    run.append(items[j])
+                    j += 1
+                if len(run) >= 2:
+                    poses, consumed = self._track_window(run)
+                    results.extend(poses[:consumed])
+                    i += consumed
+                    continue
+            results.append(self.track_stereo(*items[i]))
+            i += 1
+        return results
 
     def track_stereo(self, timestamp, smv, smv_right):
         """System::TrackStereo (System.cc:236-300)."""
@@ -291,7 +559,8 @@ class System:
             reloc = self._build_reloc()
 
         state = self.extractor.extract(smv, self._prev_state, self._prev_img, reloc)
-        frame = Frame(state, timestamp=timestamp, image=smv.im_gray, fid=self.image_count)
+        frame = Frame(state, timestamp=timestamp, image=smv.im_gray,
+                      fid=self.image_count, camera=self.settings.camera1)
         compute_stereo_depth(frame, smv.im_gray, smv_right.im_gray, self.settings)
         self._prev_state = state
         self._prev_img = smv.im_gray

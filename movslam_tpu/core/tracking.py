@@ -517,11 +517,18 @@ class Tracking:
         if len(slots) < 4:
             return 0
         cap = 2048
-        data = np.zeros((cap, 6), np.float32)
+        # Stereo rows (ur) join the per-frame solve when available — the
+        # round-1 young-map gauge wobble fix (the reference keeps its pose
+        # solve mono even in stereo mode, Optimizer.cc:437).
+        stereo = frame.uright is not None and self.settings.bf > 0
+        data = np.zeros((cap, 7 if stereo else 6), np.float32)
         n = min(len(slots), cap)
         data[:n, 0:3] = np.stack([frame.mappoints[s].pos for s in slots[:n]])
         data[:n, 3:5] = frame.pts[slots[:n]]
         data[:n, 5] = 1.0
+        if stereo:
+            data[:, 6] = -1.0
+            data[:n, 6] = frame.uright[slots[:n]]
 
         rep = (
             self.settings.reprojection_error_lost
@@ -534,7 +541,8 @@ class Tracking:
         self._pnp_key, key = jax.random.split(self._pnp_key)
         res = jax.device_get(
             pnp_ransac_fused(
-                jnp.asarray(data), jnp.asarray(prior), self._intr, key, float(rep)
+                jnp.asarray(data), jnp.asarray(prior), self._intr, key,
+                float(rep), bf=float(self.settings.bf), stereo=stereo,
             )
         )
         if not bool(res["ok"]):
@@ -635,15 +643,31 @@ class Tracking:
             seen.add(kf_id)
             if cnt > best_n:
                 best_n, best_kf = cnt, kf
-        # Expand with neighbors until 80 (Tracking.cc:1286).
+        # Expand with neighbors until 80 (Tracking.cc:1283-1332): for each
+        # seed KF add its first unseen top-10 covisible neighbor, its first
+        # unseen spanning-tree child, and its parent — the parent addition
+        # breaks the OUTER loop (the reference's quirk, Tracking.cc:1329).
+        # Iteration covers only the seed set (itEndKF captured before any
+        # push_back).
         for kf in list(self.local_kfs):
             if len(self.local_kfs) > 80:
                 break
             for nb in kf.best_covisible(m, 10):
-                if nb.id not in seen:
+                if not nb.bad and nb.id not in seen:
                     self.local_kfs.append(nb)
                     seen.add(nb.id)
                     break
+            for ch_id in kf.children:
+                ch = m.keyframes.get(ch_id)
+                if ch is not None and not ch.bad and ch.id not in seen:
+                    self.local_kfs.append(ch)
+                    seen.add(ch.id)
+                    break
+            parent = kf.parent
+            if parent is not None and not parent.bad and parent.id not in seen:
+                self.local_kfs.append(parent)
+                seen.add(parent.id)
+                break
         if best_kf is not None:
             self.reference_kf = best_kf
             self.current.reference_kf = best_kf
@@ -700,10 +724,11 @@ class Tracking:
         cosview = np.einsum("ij,ij->i", po, normals) / np.maximum(dist, 1e-9)
         mind = np.array([mp.min_dist for mp in cand])
         maxd = np.array([mp.max_dist for mp in cand])
+        bx0, bx1, by0, by1 = cam.undistorted_bounds()
         ok = (
             (z > 0)
-            & (u >= 0) & (u < cam.width)
-            & (v >= 0) & (v < cam.height)
+            & (u >= bx0) & (u < bx1)
+            & (v >= by0) & (v < by1)
             & (dist >= 0.8 * mind) & (dist <= 1.2 * maxd)
             & (cosview > 0.5)  # viewingCosLimit=0.5 (Tracking.cc:1143)
         )

@@ -61,6 +61,30 @@ class TrackState:
             next_id=jnp.asarray(next_id, jnp.int32),
         )
 
+    @staticmethod
+    def from_packed(packed, next_id):
+        """Rebuild a full-capacity TrackState from a fused-program packed
+        export row-set (ops/frame_step: pt(2) tid(i32 bits) age desc(8, u32
+        bits) midx flags). Used to rewind the device state to a mid-window
+        frame after a tracking-loss fallback (mb_wh is not exported; the
+        16x16 default is restored — only seeds within the discarded frames
+        could have differed)."""
+        packed = np.asarray(packed, np.float32)
+        N = packed.shape[0]
+        flags = packed[:, 13].astype(np.int64)
+        valid = (flags & 4) != 0
+        tid = np.ascontiguousarray(packed[:, 2]).view(np.int32)
+        return TrackState(
+            pt=jnp.asarray(packed[:, 0:2]),
+            track_id=jnp.asarray(np.where(valid, tid, -1).astype(np.int32)),
+            age=jnp.asarray(packed[:, 3].astype(np.int32)),
+            desc=jnp.asarray(np.ascontiguousarray(packed[:, 4:12]).view(np.uint32)),
+            mb_wh=jnp.full((N, 2), 16.0, jnp.float32),
+            coverage=jnp.asarray((flags & 8) != 0),
+            valid=jnp.asarray(valid),
+            next_id=jnp.asarray(int(next_id), jnp.int32),
+        )
+
     def to_numpy(self):
         """Host view with invalid entries dropped (for orchestration/tests).
 

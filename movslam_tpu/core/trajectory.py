@@ -56,7 +56,9 @@ def _sorted_kfs(m):
 
 
 def save_keyframe_trajectory_kitti(atlas, filename):
-    """System::saveKeyFrameTrajectoryKITTI (System.cc:722-776)."""
+    """System::saveKeyFrameTrajectoryKITTI (System.cc:722-776). Emits a row
+    for every keyframe including culled ones, whose poses are recovered
+    through the parent chain (Trw = Tcp * ... * T_parent, System.cc:760-766)."""
     with open(filename, "w") as f:
         for m in atlas.all_maps():
             kfs = _sorted_kfs(m)
@@ -65,9 +67,25 @@ def save_keyframe_trajectory_kitti(atlas, filename):
             R0, t0 = kfs[0].pose()
             # T_ow = inv(T_cw first): transform so first KF is origin.
             R_ow, t_ow = R0.T, -(R0.T @ t0)
-            for kf in kfs:
-                R_rw = kf.R @ R_ow
-                t_rw = kf.R @ t_ow + kf.t
+            all_kfs = sorted(
+                list(m.keyframes.values()) + list(m.culled_keyframes.values()),
+                key=lambda k: k.id,
+            )
+            for kf in all_kfs:
+                # Recover culled poses via the Tcp parent chain: accumulate
+                # T_acc = Tcp_kf * Tcp_parent * ... until a live ancestor.
+                R_acc, t_acc = np.eye(3), np.zeros(3)
+                node = kf
+                while node.bad and node.Tcp is not None and node.parent is not None:
+                    R_cp, t_cp = node.Tcp
+                    R_acc, t_acc = R_acc @ R_cp, R_acc @ t_cp + t_acc
+                    node = node.parent
+                if node.bad:
+                    continue  # unrecoverable (no live ancestor)
+                R_kw = R_acc @ node.R
+                t_kw = R_acc @ node.t + t_acc
+                R_rw = R_kw @ R_ow
+                t_rw = R_kw @ t_ow + t_kw
                 R_wc = R_rw.T
                 t_wc = -(R_rw.T @ t_rw)
                 r = R_wc

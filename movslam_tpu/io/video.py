@@ -14,7 +14,7 @@ import subprocess
 
 import numpy as np
 
-from .mvimage import FrameType, MotionVectorImage, MAX_KPS, MAX_MVS
+from .mvimage import FrameType, MotionVectorImage
 
 _LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "native", "decoder")
 _LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libmvdecoder.so"))
@@ -35,6 +35,8 @@ class _MvFrameView(ctypes.Structure):
         ("mv_rect", ctypes.POINTER(ctypes.c_float)),
         ("mv_dindx", ctypes.POINTER(ctypes.c_int32)),
         ("kps_rect", ctypes.POINTER(ctypes.c_float)),
+        ("mv_dropped", ctypes.c_int32),
+        ("kp_dropped", ctypes.c_int32),
     ]
 
 
@@ -64,14 +66,42 @@ def _load_lib(auto_build=True):
     return lib
 
 
+def encode_gray(path, frames, fps=30.0, keyint=1000, refs=2):
+    """Encode a (N, H, W) uint8 stack with libx264 at the reference operating
+    point (README.md:47-69: preset fast, tune film, p8x8/p4x4 partitions,
+    me=umh, merange=64, subme=6, bframes=0) — test/utility entry point (the
+    reference encodes on a separate host with the ffmpeg CLI)."""
+    lib = _load_lib()
+    lib.mvenc_encode_gray.restype = ctypes.c_int
+    lib.mvenc_encode_gray.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w = frames.shape
+    rc = lib.mvenc_encode_gray(
+        str(path).encode(), frames.reshape(-1), w, h, n, float(fps),
+        int(keyint), int(refs),
+    )
+    if rc != 0:
+        raise RuntimeError(f"mvenc_encode_gray failed rc={rc}")
+
+
 class VideoDecoder:
     """Streaming MV decoder. `next_image(mv=True)` pops the oldest lookahead
     frame; `mv=False` skips MV conversion cost on the Python side (used for
     the right frames of frame-packed stereo)."""
 
-    def __init__(self, url, qlen=12):
+    def __init__(self, url, qlen=12, max_mvs=8192, max_kps=4096):
         self.url = url
         self.qlen = qlen
+        # Python-side array capacities (static device shapes). The native
+        # decoder caps at 16384/8192 and counts its own drops; both layers
+        # log truncation instead of dropping silently.
+        self.max_mvs = max_mvs
+        self.max_kps = max_kps
+        self._warned_drop = False
         self._lib = None
         self._h = None
         self.width = 0
@@ -94,7 +124,7 @@ class VideoDecoder:
         if not vp:
             return None
         v = vp.contents
-        smv = MotionVectorImage.empty(v.width, v.height, MAX_MVS, MAX_KPS)
+        smv = MotionVectorImage.empty(v.width, v.height, self.max_mvs, self.max_kps)
         smv.frame_no = v.frame_no
         smv.timestamp = v.timestamp
         smv.ft = FrameType.I_FRAME if v.ft == 0 else FrameType.P_FRAME
@@ -102,8 +132,19 @@ class VideoDecoder:
             v.gray, shape=(v.height, v.width)
         ).copy()
         if mv:
-            n_mvs = min(v.n_mvs, MAX_MVS)
-            n_kps = min(v.n_kps, MAX_KPS)
+            n_mvs = min(v.n_mvs, self.max_mvs)
+            n_kps = min(v.n_kps, self.max_kps)
+            dropped = (v.n_mvs - n_mvs) + (v.n_kps - n_kps) + v.mv_dropped + v.kp_dropped
+            if dropped and not self._warned_drop:
+                from ..core.verbose import Verbose
+
+                Verbose.log(
+                    f"VideoDecoder: frame {v.frame_no} dropped {dropped} "
+                    f"MV/keypoint records over capacity "
+                    f"(n_mvs={v.n_mvs}, n_kps={v.n_kps}); further drops "
+                    f"not logged"
+                )
+                self._warned_drop = True
             if n_mvs:
                 smv.mv_delta[:n_mvs] = np.ctypeslib.as_array(
                     v.mv_delta, shape=(v.n_mvs, 2)

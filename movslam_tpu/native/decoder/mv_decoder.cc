@@ -11,12 +11,24 @@
 //   - destination keypoint blocks with back-pointers (dIndx),
 //   - frame MV coverage.
 //
-// Note: stock FFmpeg's AVMotionVector carries no reference-frame index (the
-// reference patches FFmpeg to add `int32_t ref`,
-// /root/reference/ffmpeg-ref-patch.patch:122-129). Against an unpatched
-// libavcodec every MV is treated as ref=0 (exact for streams encoded with
-// ref=1, e.g. the TartanAir mono operating point). The hop-decomposition
-// loop is kept so a patched FFmpeg only needs MV_REF_FIELD defined.
+// Multi-ref decomposition (VideoDecoder.cc:220-348): an MV with reference
+// index ref = k spans k+1 frames; its per-hop delta is (dst - src)/(k+1).
+// Hop j (j = k+1..1) produces a source rectangle at dst - j*delta, assigned
+// to the frame j-1 slots back in the lookahead queue; the new-track keypoint
+// block is placed at the SOURCE position in the frame the chain starts at
+// (k+1 back). Stock FFmpeg's AVMotionVector carries no reference-frame index
+// (the reference patches FFmpeg to add `int32_t ref`,
+// /root/reference/ffmpeg-ref-patch.patch:122-129); build with -DMV_REF_FIELD
+// against a patched libavcodec to enable the field. Unpatched builds treat
+// every MV as ref=0 (exact for streams encoded with ref=1, e.g. the
+// TartanAir mono operating point). The decomposition itself is exercised
+// either way through the mvdec_test_decompose test ABI below.
+//
+// B-frames (mv.source > 0): the reference collects forward-prediction
+// records into `bmap` (VideoDecoder.cc:255-286) but bmap is write-only —
+// nothing ever reads it (grep: single reference at VideoDecoder.cc:284) —
+// so skipping forward refs is behaviorally identical; the published encoder
+// settings use bframes=0 (/root/reference/README.md:47).
 //
 // Build: see build.sh (g++ -shared, links libavformat/avcodec/avutil/swscale).
 
@@ -38,8 +50,12 @@ extern "C" {
 
 namespace {
 
-constexpr int kMaxMvs = 4096;
-constexpr int kMaxKps = 2048;
+// Capacities sized for the published encoder operating point: partitions
+// p8x8+p4x4 on 640x480 can emit 80*60 = 4800 8x8 blocks (more with 4x4
+// sub-partitions); multi-ref chains multiply records. Drops are COUNTED and
+// surfaced to Python (no silent caps).
+constexpr int kMaxMvs = 16384;
+constexpr int kMaxKps = 8192;
 
 struct QueuedFrame {
   int32_t frame_no = 0;
@@ -53,22 +69,105 @@ struct QueuedFrame {
   std::vector<float> kps_rect;   // n_kps * 4 (x, y, w, h)
   int32_t n_mvs = 0;
   int32_t n_kps = 0;
+  int32_t mv_dropped = 0;
+  int32_t kp_dropped = 0;
 
   void add_kp(float x, float y, float w, float h, int32_t* out_idx) {
     *out_idx = -1;
-    if (n_kps >= kMaxKps) return;
+    if (n_kps >= kMaxKps) {
+      ++kp_dropped;
+      return;
+    }
     kps_rect.insert(kps_rect.end(), {x, y, w, h});
     *out_idx = n_kps++;
   }
   void add_mv(float dx, float dy, float x0, float y0, float x1, float y1,
               int32_t dindx) {
-    if (n_mvs >= kMaxMvs) return;
+    if (n_mvs >= kMaxMvs) {
+      ++mv_dropped;
+      return;
+    }
     mv_delta.insert(mv_delta.end(), {dx, dy});
     mv_rect.insert(mv_rect.end(), {x0, y0, x1, y1});
     mv_dindx.push_back(dindx);
     ++n_mvs;
   }
 };
+
+// One motion vector's fields, decoupled from AVMotionVector so the
+// decomposition is testable without a patched FFmpeg.
+struct MvIn {
+  int32_t source;
+  float w, h;
+  float src_x, src_y;
+  float dst_x, dst_y;
+  int32_t ref;
+};
+
+// The exact reference decomposition (VideoDecoder.cc:211-348). `queue` holds
+// the lookahead frames OLDEST FIRST (the current frame is NOT in it yet);
+// `cur` is the frame being decoded. Returns the dst-block area added to
+// coverage (0 when the MV was dropped or is a forward/B ref).
+float decompose_mv(const MvIn& mv, std::deque<std::unique_ptr<QueuedFrame>>& queue,
+                   QueuedFrame* cur, float W, float H) {
+  if (mv.source > 0) return 0.f;  // B-frame forward refs: bmap is write-only
+                                  // in the reference (see file header)
+
+  const float mb_w = mv.w, mb_h = mv.h;
+  const float half_w = mb_w / 2, half_h = mb_h / 2;
+  const int ref = mv.ref;
+  float dx = (mv.dst_x - mv.src_x) / (float)(ref + 1);
+  float dy = (mv.dst_y - mv.src_y) / (float)(ref + 1);
+
+  // Keypoint block: at the CHAIN START — the source position for multi-ref
+  // MVs (placed on the frame the chain begins at), the destination for
+  // single-hop (VideoDecoder.cc:227-253).
+  const bool multi = ref > 0;
+  float kp_x = multi ? mv.src_x : mv.dst_x;
+  float kp_y = multi ? mv.src_y : mv.dst_y;
+  float d_x0 = kp_x - half_w, d_y0 = kp_y - half_h;
+  if (d_x0 < 0) d_x0 = 0;
+  if (d_y0 < 0) d_y0 = 0;
+  if (kp_x + half_w >= W || kp_y + half_h >= H) return 0.f;
+
+  int32_t dindx = -1;
+  if (multi) {
+    // vqueue[(size-1) - ref] = the frame ref+1 hops back (the current frame
+    // is not queued yet). Skip when the chain starts before the queue.
+    if ((size_t)ref < queue.size()) {
+      int32_t unused;
+      queue[queue.size() - 1 - (size_t)ref]->add_kp(d_x0, d_y0, mb_w, mb_h,
+                                                    &unused);
+    }
+  } else {
+    cur->add_kp(d_x0, d_y0, mb_w, mb_h, &dindx);
+  }
+
+  // Per-hop source rectangles assigned backwards over the queue
+  // (VideoDecoder.cc:287-346): hop j lands on the frame j-1 slots back.
+  for (int j = ref + 1; j > 0; --j) {
+    float src_x = mv.dst_x - dx * j;
+    float src_y = mv.dst_y - dy * j;
+    float s_x0 = src_x - half_w, s_y0 = src_y - half_h;
+    if (s_x0 < 0) s_x0 = 0;
+    if (s_y0 < 0) s_y0 = 0;
+    float s_x1 = src_x + half_w, s_y1 = src_y + half_h;
+    if (s_x1 >= W) s_x1 = W - 1;
+    if (s_y1 >= H) s_y1 = H - 1;
+
+    QueuedFrame* target;
+    if (j == 1) {
+      target = cur;
+    } else {
+      if ((size_t)(j - 1) > queue.size()) continue;
+      target = queue[queue.size() - (size_t)(j - 1)].get();
+    }
+    // dIndx = -1 for every hop of a multi-ref MV (reference sets dIndx only
+    // in the single-hop branch, VideoDecoder.cc:244-253).
+    target->add_mv(dx, dy, s_x0, s_y0, s_x1, s_y1, dindx);
+  }
+  return mb_w * mb_h;  // coverage counts every P-frame MV's dst area
+}
 
 }  // namespace
 
@@ -86,6 +185,7 @@ typedef struct {
   const float* mv_rect;
   const int32_t* mv_dindx;
   const float* kps_rect;
+  int32_t mv_dropped, kp_dropped;
 } MvFrameView;
 
 struct MvDecoder {
@@ -188,52 +288,21 @@ static void process_frame(MvDecoder* d, AVFrame* f) {
     const float W = d->width, H = d->height;
 
     for (int i = 0; i < n; ++i) {
-      const AVMotionVector& mv = mvs[i];
-      // Stock FFmpeg: no ref field; single-hop (see file header).
-      const int ref = 0;
-      if (mv.source > 0) continue;  // B-frame forward refs: not used
-                                    // (examples encode bframes=0)
-
-      const float mb_w = mv.w, mb_h = mv.h;
-      const float half_w = mb_w / 2, half_h = mb_h / 2;
-      float dx = (float)(mv.dst_x - mv.src_x) / (ref + 1);
-      float dy = (float)(mv.dst_y - mv.src_y) / (ref + 1);
-
-      // Destination block, dropped when bottom/right out of range
-      // (VideoDecoder.cc:236-241).
-      float dst_x = mv.dst_x, dst_y = mv.dst_y;
-      float d_x0 = dst_x - half_w, d_y0 = dst_y - half_h;
-      if (d_x0 < 0) d_x0 = 0;
-      if (d_y0 < 0) d_y0 = 0;
-      if (dst_x + half_w >= W || dst_y + half_h >= H) continue;
-
-      int32_t dindx = -1;
-      qf->add_kp(d_x0, d_y0, mb_w, mb_h, &dindx);
-
-      // Per-hop source rectangles assigned backwards over the queue
-      // (VideoDecoder.cc:287-346). With ref=0 this is one record on the
-      // current frame.
-      for (int j = ref + 1; j > 0; --j) {
-        float src_x = mv.dst_x - dx * j;
-        float src_y = mv.dst_y - dy * j;
-        float s_x0 = src_x - half_w, s_y0 = src_y - half_h;
-        if (s_x0 < 0) s_x0 = 0;
-        if (s_y0 < 0) s_y0 = 0;
-        float s_x1 = src_x + half_w, s_y1 = src_y + half_h;
-        if (s_x1 >= W) s_x1 = W - 1;
-        if (s_y1 >= H) s_y1 = H - 1;
-
-        QueuedFrame* target;
-        if (j == 1) {
-          target = qf.get();
-        } else {
-          size_t qi = d->queue.size() - (size_t)(j - 1);
-          if (qi >= d->queue.size()) continue;
-          target = d->queue[qi].get();
-        }
-        target->add_mv(dx, dy, s_x0, s_y0, s_x1, s_y1, j == 1 ? dindx : -1);
-      }
-      coverage += mb_w * mb_h;
+      const AVMotionVector& av = mvs[i];
+      MvIn mv;
+      mv.source = av.source;
+      mv.w = av.w;
+      mv.h = av.h;
+      mv.src_x = av.src_x;
+      mv.src_y = av.src_y;
+      mv.dst_x = av.dst_x;
+      mv.dst_y = av.dst_y;
+#ifdef MV_REF_FIELD
+      mv.ref = av.ref;  // patched FFmpeg (ffmpeg-ref-patch.patch:122-129)
+#else
+      mv.ref = 0;  // stock FFmpeg: exact for ref=1 encodes
+#endif
+      coverage += decompose_mv(mv, d->queue, qf.get(), W, H);
     }
     qf->coverage = coverage / (W * H);
   }
@@ -281,6 +350,8 @@ const MvFrameView* mvdec_next(MvDecoder* d) {
       q->mv_rect.data(),
       q->mv_dindx.data(),
       q->kps_rect.data(),
+      q->mv_dropped,
+      q->kp_dropped,
   };
   return &d->view;
 }
@@ -293,6 +364,72 @@ void mvdec_close(MvDecoder* d) {
   if (d->codec) avcodec_free_context(&d->codec);
   if (d->fmt) avformat_close_input(&d->fmt);
   delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Test ABI: run the hop decomposition on synthetic MV lists over a simulated
+// lookahead queue, without FFmpeg. Lets Python differential-test the chain
+// semantics (multi-ref backward assignment) against an independent model of
+// VideoDecoder.cc:211-348.
+//
+// Inputs: n_queue already-queued frames (oldest first, all empty) + one
+// current frame whose n_in MVs are given as flat arrays. Outputs, for each
+// of the n_queue+1 frames (queue slots 0..n_queue-1, then the current
+// frame): per-frame record arrays, caller-allocated with capacities cap_mv /
+// cap_kp rows.
+//   out_mv   : (n_queue+1, cap_mv, 7)  f32 — dx dy x0 y0 x1 y1 dindx
+//   out_nmv  : (n_queue+1,)            i32
+//   out_kp   : (n_queue+1, cap_kp, 4)  f32 — x y w h
+//   out_nkp  : (n_queue+1,)            i32
+// Returns the coverage area sum of the current frame.
+float mvdec_test_decompose(int width, int height, int n_queue,
+                           const float* src_xy, const float* dst_xy,
+                           const float* wh, const int32_t* ref,
+                           const int32_t* source, int n_in, float* out_mv,
+                           int32_t* out_nmv, float* out_kp, int32_t* out_nkp,
+                           int cap_mv, int cap_kp) {
+  std::deque<std::unique_ptr<QueuedFrame>> queue;
+  for (int i = 0; i < n_queue; ++i) queue.push_back(std::make_unique<QueuedFrame>());
+  QueuedFrame cur;
+  float coverage = 0.f;
+  for (int i = 0; i < n_in; ++i) {
+    MvIn mv;
+    mv.source = source[i];
+    mv.w = wh[i * 2];
+    mv.h = wh[i * 2 + 1];
+    mv.src_x = src_xy[i * 2];
+    mv.src_y = src_xy[i * 2 + 1];
+    mv.dst_x = dst_xy[i * 2];
+    mv.dst_y = dst_xy[i * 2 + 1];
+    mv.ref = ref[i];
+    coverage += decompose_mv(mv, queue, &cur, (float)width, (float)height);
+  }
+  auto emit = [&](const QueuedFrame& q, int slot) {
+    int nm = q.n_mvs < cap_mv ? q.n_mvs : cap_mv;
+    out_nmv[slot] = nm;
+    for (int k = 0; k < nm; ++k) {
+      float* row = out_mv + ((size_t)slot * cap_mv + k) * 7;
+      row[0] = q.mv_delta[k * 2];
+      row[1] = q.mv_delta[k * 2 + 1];
+      row[2] = q.mv_rect[k * 4];
+      row[3] = q.mv_rect[k * 4 + 1];
+      row[4] = q.mv_rect[k * 4 + 2];
+      row[5] = q.mv_rect[k * 4 + 3];
+      row[6] = (float)q.mv_dindx[k];
+    }
+    int nk = q.n_kps < cap_kp ? q.n_kps : cap_kp;
+    out_nkp[slot] = nk;
+    for (int k = 0; k < nk; ++k) {
+      float* row = out_kp + ((size_t)slot * cap_kp + k) * 4;
+      row[0] = q.kps_rect[k * 4];
+      row[1] = q.kps_rect[k * 4 + 1];
+      row[2] = q.kps_rect[k * 4 + 2];
+      row[3] = q.kps_rect[k * 4 + 3];
+    }
+  };
+  for (int i = 0; i < n_queue; ++i) emit(*queue[i], i);
+  emit(cur, n_queue);
+  return coverage;
 }
 
 }  // extern "C"

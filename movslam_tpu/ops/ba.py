@@ -306,6 +306,29 @@ def ba_solve_packed(kf_pack, mp_pack, obs_pack, obs_by_point, intr, bf, iters=LM
     return out_kf, res["mp_pos"], out_obs
 
 
+@functools.partial(jax.jit, static_argnames=("K", "P", "O", "MOPP", "iters"))
+def ba_solve_wire(wire, intr, bf, *, K, P, O, MOPP, iters=LM_ITERS):
+    """Single-transfer BA for remote TPUs: ONE upload, ONE pull.
+
+    wire in : flat f32 [kf_pack K*14 | mp_pack P*4 | obs_pack O*6 |
+              obs_by_point P*MOPP (values exact below 2^24)].
+    wire out: flat f32 [out_kf K*12 | out_mp P*3 | out_obs O*2].
+    """
+    o0 = K * 14
+    o1 = o0 + P * 4
+    o2 = o1 + O * 6
+    kf_pack = wire[:o0].reshape(K, 14)
+    mp_pack = wire[o0:o1].reshape(P, 4)
+    obs_pack = wire[o1:o2].reshape(O, 6)
+    obp = wire[o2:].reshape(P, MOPP).astype(jnp.int32)
+    out_kf, out_mp, out_obs = ba_solve_packed(
+        kf_pack, mp_pack, obs_pack, obp, intr, bf, iters=iters
+    )
+    return jnp.concatenate(
+        [out_kf.reshape(-1), out_mp.reshape(-1), out_obs.reshape(-1)]
+    )
+
+
 def build_obs_by_point(obs_mp, n_points, mopp, n_obs):
     """Host helper: (P, MOPP) observation indices per point, padded with n_obs.
 

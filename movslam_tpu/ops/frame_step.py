@@ -29,6 +29,27 @@ import jax.numpy as jnp
 from .pnp import pnp_ransac
 
 SNAP_CAP = 4096  # map-snapshot capacity (points)
+PACKED_COLS = 18  # per-slot export width (see _frame_program_body stage 5)
+N_SCALARS = 16
+
+
+def undistort_points_jax(uv, intr, dist):
+    """Batched iterative keypoint undistortion (Frame.cc:682-713 /
+    cv::undistortPoints equivalent): 8 fixed-point iterations of the inverse
+    Brown-Conrady model. dist = (k1, k2, p1, p2, k3)."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    k1, k2, p1, p2, k3 = dist[0], dist[1], dist[2], dist[3], dist[4]
+    x0 = (uv[..., 0] - cx) / fx
+    y0 = (uv[..., 1] - cy) / fy
+    x, y = x0, y0
+    for _ in range(8):
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (x0 - dx) / radial
+        y = (y0 - dy) / radial
+    return jnp.stack([x * fx + cx, y * fy + cy], axis=-1)
 
 
 def match_snapshot(track_id, valid, snap_tid_sorted, snap_perm, snap_valid):
@@ -45,9 +66,11 @@ def match_snapshot(track_id, valid, snap_tid_sorted, snap_perm, snap_valid):
     return jnp.where(hit, snap_perm[pos_c], -1)
 
 
-def _project_gate(R, t, pos, intr, width, height, normal, mind, maxd):
+def _project_gate(R, t, pos, intr, bounds, normal, mind, maxd):
     """Full isInFrustum gate (Frame.cc:456-532 / Tracking.cc:1143): depth,
-    in-image, scale-invariance distance band, viewing angle < 60 deg."""
+    in-image (undistorted bounds, Frame::ComputeImageBounds),
+    scale-invariance distance band, viewing angle < 60 deg.
+    bounds = (minx, maxx, miny, maxy)."""
     pc = pos @ R.T + t
     z = pc[:, 2]
     u = intr[0] * pc[:, 0] / jnp.maximum(z, 1e-6) + intr[2]
@@ -58,61 +81,58 @@ def _project_gate(R, t, pos, intr, width, height, normal, mind, maxd):
     cosv = jnp.einsum("pi,pi->p", po, normal) / jnp.maximum(dist, 1e-9)
     ok = (
         (z > 0)
-        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & (u >= bounds[0]) & (u < bounds[1])
+        & (v >= bounds[2]) & (v < bounds[3])
         & (dist >= 0.8 * mind) & (dist <= 1.2 * maxd)
         & (cosv > 0.5)
     )
     return jnp.stack([u, v], axis=-1), ok
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_mvs", "reproj_err", "threshold", "coverage_threshold",
-        "capacity", "max_cov",
-    ),
-)
-def tracked_frame_step(
+def _frame_program_body(
     img,
     prev_img,
     prev_state,
-    mvk_pack,
-    aux,
-    snap_tid_sorted,
-    snap_perm,
-    snap_pack,
+    mv_pack,
+    kps_pack,
+    coverage_area,
+    prior_R,
+    prior_t,
+    snap_fused,
     intr,
     key,
+    dist_pack=None,
+    img_right=None,
     *,
-    n_mvs,
     reproj_err,
     threshold,
     coverage_threshold,
     capacity,
     max_cov,
+    has_dist=False,
+    has_stereo=False,
 ):
-    """Fused per-frame program. Remote-TPU transfer budget per frame:
-    2 uploads (img, mvk_pack) + 1 dispatch + 1 pull (the "wire" buffer).
-    mvk_pack is the `MotionVectorImage.packed_joint()` layout plus two
-    trailer rows: rows [0:n_mvs] = MVs, rows [n_mvs:-2] = kps, and the last
-    2 rows carry aux = [prior_R(9), prior_t(3), coverage_area] flattened
-    (pass aux=None to use them; a separate (13,) aux is also accepted).
-    Per-run constants (reproj/threshold/coverage) are static; the PRNG key
-    chains on-device (out["key"] feeds the next frame — no eager split RPC).
-    """
+    """Shared per-frame program body (stages 1-5 of the fused step). Used by
+    both tracked_frame_step (one frame per dispatch) and
+    window_step.tracked_window_step (W frames per dispatch via lax.scan).
+
+    Returns (new_state, packed (N,16f32... see below), scalars (16,),
+    snap_visible (P,) bool, R2, t2, chain_ok) where chain_ok mirrors the host
+    gate that advances the pose chain (res2.ok AND n_ref >= 10,
+    core/tracking.py track_fused)."""
     from ..core.extractor import _p_frame_body
 
-    if aux is None:
-        aux = mvk_pack[-2:].reshape(-1)[0:13]
-        mvk_pack = mvk_pack[:-2]
-    mv_pack = mvk_pack[:n_mvs]
-    kps_pack = mvk_pack[n_mvs:, 0:5]
-    prior_R = aux[0:9].reshape(3, 3)
-    prior_t = aux[9:12]
-    coverage_area = aux[12]
-    key_out, key = jax.random.split(key)
-
     H, W = img.shape
+    if dist_pack is None:
+        dist_pack = jnp.zeros(10, jnp.float32)
+        bounds = jnp.asarray([0.0, float(W), 0.0, float(H)], jnp.float32)
+    else:
+        bounds = dist_pack[5:9]
+    # The map snapshot travels as ONE fused (P, 12) upload
+    # (core/snapshot.py): pack(10) | tid i32-bits | perm.
+    snap_pack = snap_fused[:, 0:10]
+    snap_tid_sorted = jax.lax.bitcast_convert_type(snap_fused[:, 10], jnp.int32)
+    snap_perm = snap_fused[:, 11].astype(jnp.int32)
     snap_pos = snap_pack[:, 0:3]
     snap_normal = snap_pack[:, 3:6]
     snap_mind = snap_pack[:, 6]
@@ -138,6 +158,38 @@ def tracked_frame_step(
         max_cov,
     )
 
+    # --- 1b. keypoint undistortion (Frame.cc:682-713): geometry (PnP, BA,
+    # triangulation) uses undistorted pixels; the raw positions stay in the
+    # TrackState for image-domain work (MV propagation, LK, descriptors).
+    if has_dist:
+        pt_un = undistort_points_jax(state.pt, intr, dist_pack)
+    else:
+        pt_un = state.pt
+
+    # --- 1c. stereo depth: batched left->right LK + epipolar/disparity
+    # gates + median trim (Frame::ComputeStereoMatches, Frame.cc:281-354) —
+    # fused into the same dispatch instead of a separate device call.
+    N_slots = state.pt.shape[0]
+    if has_stereo:
+        from .lk import lk_track
+
+        bf = dist_pack[9]
+        lk_r, st_ok = lk_track(img, img_right, state.pt, state.valid)
+        dy = jnp.abs(lk_r[:, 1] - state.pt[:, 1])
+        disp = state.pt[:, 0] - lk_r[:, 0]
+        good = st_ok & state.valid & (dy < 2.0) & (disp > 0.1) & (disp < bf)
+        depth = jnp.where(good, bf / jnp.maximum(disp, 0.1), -1.0)
+        # Median-distance outlier trim (Frame.cc:334-352): masked median.
+        dsort = jnp.sort(jnp.where(good, depth, jnp.inf))
+        n_good = jnp.sum(good.astype(jnp.int32))
+        med = dsort[jnp.maximum(n_good - 1, 0) // 2]
+        good = good & jnp.where(n_good > 10, depth < 6.0 * med, True)
+        depth = jnp.where(good, depth, -1.0)
+        ur = jnp.where(good, lk_r[:, 0], -1.0)
+    else:
+        depth = jnp.full((N_slots,), -1.0)
+        ur = jnp.full((N_slots,), -1.0)
+
     # --- 2. map association by track id -------------------------------------
     midx = match_snapshot(
         state.track_id, state.valid, snap_tid_sorted, snap_perm, snap_valid
@@ -149,31 +201,35 @@ def tracked_frame_step(
     nrm = snap_normal[msafe]
     mind = snap_mind[msafe]
     maxd = snap_maxd[msafe]
-    _, gate_prior = _project_gate(prior_R, prior_t, mpos, intr, W, H, nrm, mind, maxd)
+    _, gate_prior = _project_gate(
+        prior_R, prior_t, mpos, intr, bounds, nrm, mind, maxd
+    )
     matched = midx >= 0
     is_ref = snap_ref_mask[msafe] & matched
     k1, k2 = jax.random.split(key)
+    bf_s = dist_pack[9] if has_stereo else 0.0
+    ur_pnp = jnp.where(matched, ur, -1.0) if has_stereo else None
     res1 = pnp_ransac(
-        mpos, state.pt, is_ref & gate_prior, intr[0], intr[1], intr[2], intr[3],
-        k1, reproj_err, prior_R, prior_t,
+        mpos, pt_un, is_ref & gate_prior, intr[0], intr[1], intr[2], intr[3],
+        k1, reproj_err, prior_R, prior_t, ur=ur_pnp, bf=bf_s,
     )
     n_ref = res1["n_inliers"]
     R1 = jnp.where(res1["ok"], res1["R"], prior_R)
     t1 = jnp.where(res1["ok"], res1["t"], prior_t)
 
     # --- 4. stage 2: full local-map solve from the stage-1 pose ------------
-    _, gate1 = _project_gate(R1, t1, mpos, intr, W, H, nrm, mind, maxd)
+    _, gate1 = _project_gate(R1, t1, mpos, intr, bounds, nrm, mind, maxd)
     use2 = matched & gate1
     # Visibility over the WHOLE snapshot (SearchLocalPoints increments
     # IncreaseVisible for every frustum-passing point, matched or not,
     # Tracking.cc:1143-1147 — found/visible drives MapPointCulling).
     _, snap_visible = _project_gate(
-        R1, t1, snap_pos, intr, W, H, snap_normal, snap_mind, snap_maxd
+        R1, t1, snap_pos, intr, bounds, snap_normal, snap_mind, snap_maxd
     )
     snap_visible = snap_visible & snap_valid
     res2 = pnp_ransac(
-        mpos, state.pt, use2, intr[0], intr[1], intr[2], intr[3],
-        k2, reproj_err, R1, t1,
+        mpos, pt_un, use2, intr[0], intr[1], intr[2], intr[3],
+        k2, reproj_err, R1, t1, ur=ur_pnp, bf=bf_s,
     )
 
     # --- 5. packed export: leaf-per-RPC device pulls dominate remote-TPU
@@ -191,17 +247,20 @@ def tracked_frame_step(
     ).astype(jnp.float32)
     packed = jnp.concatenate(
         [
-            state.pt,                      # 0:2
+            state.pt,                      # 0:2 raw pixels
             tid_f[:, None],                # 2 (i32 bits)
             state.age.astype(jnp.float32)[:, None],  # 3
             desc_f,                        # 4:12 (u32 bits)
             jnp.maximum(midx, -1).astype(jnp.float32)[:, None],  # 12
             flags[:, None],                # 13
+            pt_un,                         # 14:16 undistorted (geometry)
+            depth[:, None],                # 16 stereo depth (-1 = none)
+            ur[:, None],                   # 17 right-image u (-1 = none)
         ],
         axis=1,
-    )  # (N, 14)
+    )  # (N, PACKED_COLS)
 
-    P = snap_pack.shape[0]
+    next_id_f = jax.lax.bitcast_convert_type(state.next_id, jnp.float32)
     scalars = jnp.concatenate(
         [
             res2["R"].reshape(-1),         # 0:9
@@ -211,9 +270,69 @@ def tracked_frame_step(
                     n_ref.astype(jnp.float32),
                     res2["n_inliers"].astype(jnp.float32),
                     res2["ok"].astype(jnp.float32),
+                    next_id_f,             # 15 (i32 bits): extractor counter
                 ]
-            ),                             # 12:15
+            ),                             # 12:16
         ]
+    )
+    chain_ok = res2["ok"] & (n_ref >= 10)
+    return state, packed, scalars, snap_visible, res2["R"], res2["t"], chain_ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_mvs", "reproj_err", "threshold", "coverage_threshold",
+        "capacity", "max_cov", "has_dist", "has_stereo",
+    ),
+)
+def tracked_frame_step(
+    img,
+    prev_img,
+    prev_state,
+    mvk_pack,
+    aux,
+    snap_fused,
+    intr,
+    key,
+    dist_pack=None,
+    img_right=None,
+    *,
+    n_mvs,
+    reproj_err,
+    threshold,
+    coverage_threshold,
+    capacity,
+    max_cov,
+    has_dist=False,
+    has_stereo=False,
+):
+    """Fused per-frame program. Remote-TPU transfer budget per frame:
+    2 uploads (img, mvk_pack) + 1 dispatch + 1 pull (the "wire" buffer).
+    mvk_pack is the `MotionVectorImage.packed_joint()` layout plus two
+    trailer rows: rows [0:n_mvs] = MVs, rows [n_mvs:-2] = kps, and the last
+    2 rows carry aux = [prior_R(9), prior_t(3), coverage_area] flattened
+    (pass aux=None to use them; a separate (13,) aux is also accepted).
+    Per-run constants (reproj/threshold/coverage) are static; the PRNG key
+    chains on-device (out["key"] feeds the next frame — no eager split RPC).
+    """
+    if aux is None:
+        aux = mvk_pack[-2:].reshape(-1)[0:13]
+        mvk_pack = mvk_pack[:-2]
+    mv_pack = mvk_pack[:n_mvs]
+    kps_pack = mvk_pack[n_mvs:, 0:5]
+    prior_R = aux[0:9].reshape(3, 3)
+    prior_t = aux[9:12]
+    coverage_area = aux[12]
+    key_out, key = jax.random.split(key)
+
+    state, packed, scalars, snap_visible, _, _, _ = _frame_program_body(
+        img, prev_img, prev_state, mv_pack, kps_pack, coverage_area,
+        prior_R, prior_t, snap_fused, intr, key,
+        dist_pack, img_right,
+        reproj_err=reproj_err, threshold=threshold,
+        coverage_threshold=coverage_threshold, capacity=capacity,
+        max_cov=max_cov, has_dist=has_dist, has_stereo=has_stereo,
     )
 
     # ONE pull: everything the host needs in a single flat buffer
@@ -224,7 +343,7 @@ def tracked_frame_step(
     return {
         "state": state,  # stays device-resident for the next frame
         "key": key_out,  # PRNG chain stays device-resident too
-        "wire": wire,    # host splits: N*14 packed | 15 scalars | P visible
+        "wire": wire,    # host splits: N*14 packed | 16 scalars | P visible
         "packed": packed,
         "scalars": scalars,
         "snap_visible": snap_visible,

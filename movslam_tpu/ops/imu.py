@@ -150,7 +150,7 @@ def _exp_xy(theta):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def inertial_gs_optimize(pres, Rs, ps, v0, bg0, ba0, valid, iters=10,
+def inertial_gs_optimize(pres, Rs, ps, v0, bg0, ba0, valid, iters=30,
                          gravity_mag=9.81, prior_bias=1e2):
     """Gravity-direction + scale (+ velocities, shared biases) optimization
     with all keyframe poses fixed — Optimizer::InertialOptimization
@@ -210,18 +210,27 @@ def inertial_gs_optimize(pres, Rs, ps, v0, bg0, ba0, valid, iters=10,
         [jnp.zeros(2), jnp.zeros(1), v0.reshape(-1), bg0, ba0]
     )
 
-    def gn_step(x, _):
+    def lm_step(carry, _):
+        x, lam = carry
         r = residuals(x)
         J = jax.jacfwd(residuals)(x)
-        H = J.T @ J + 1e-6 * jnp.eye(x.shape[0])
-        dx = jnp.linalg.solve(H, -(J.T @ r))
+        H = J.T @ J
+        # Levenberg-Marquardt damping: pure GN overshoots here (the scale
+        # enters as exp(log_s) — strongly nonlinear) and every step gets
+        # rejected, so the solve must adapt lam.
+        Hd = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8)) + 1e-9 * jnp.eye(x.shape[0])
+        dx = jnp.linalg.solve(Hd, -(J.T @ r))
         x_new = x + dx
         c0 = jnp.sum(r * r)
         c1 = jnp.sum(residuals(x_new) ** 2)
         ok = jnp.isfinite(c1) & (c1 < c0)
-        return jnp.where(ok, x_new, x), jnp.where(ok, c1, c0)
+        x = jnp.where(ok, x_new, x)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-9, 1e8)
+        return (x, lam), jnp.where(ok, c1, c0)
 
-    x, costs = jax.lax.scan(gn_step, x0, None, length=iters)
+    (x, _), costs = jax.lax.scan(
+        lm_step, (x0, jnp.asarray(1e-3)), None, length=iters
+    )
     theta, log_s, v, bg, ba = unpack(x)
     return {
         "Rwg": _exp_xy(theta),

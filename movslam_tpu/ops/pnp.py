@@ -52,8 +52,12 @@ def _dlt_pose(pw, rays):
     return R, t
 
 
-def _reproj_err2(R, t, pw, uv, fx, fy, cx, cy):
-    """Squared pixel reprojection error (broadcast over leading dims)."""
+def _reproj_err2(R, t, pw, uv, fx, fy, cx, cy, ur=None, bf=0.0):
+    """Squared pixel reprojection error (broadcast over leading dims). When
+    ur is given, stereo rows (ur >= 0) add the right-image column residual
+    (u - bf/z - ur)^2 — the EdgeStereo term the reference reserves for BA,
+    brought into the per-frame solve (kills the young-map depth ambiguity
+    that caused the round-1 stereo gauge wobble)."""
     pc = jnp.einsum("...ij,nj->...ni", R, pw) + t[..., None, :]
     z = jnp.maximum(pc[..., 2], 1e-6)
     u = fx * pc[..., 0] / z + cx
@@ -61,12 +65,23 @@ def _reproj_err2(R, t, pw, uv, fx, fy, cx, cy):
     du = u - uv[..., :, 0]
     dv = v - uv[..., :, 1]
     err2 = du * du + dv * dv
+    if ur is not None:
+        stereo = (ur >= 0).astype(jnp.float32)
+        dr = (u - bf / z - ur) * stereo
+        err2 = err2 + dr * dr
     behind = pc[..., 2] <= 0
     return jnp.where(behind, 1e12, err2)
 
 
-def _gn_refine(R0, t0, pw, uv, weight_mask, fx, fy, cx, cy, huber_delta, iters=GN_ITERS):
-    """Huber-weighted Gauss-Newton pose polish on weighted correspondences."""
+def _gn_refine(R0, t0, pw, uv, weight_mask, fx, fy, cx, cy, huber_delta,
+               iters=GN_ITERS, ur=None, bf=0.0):
+    """Huber-weighted Gauss-Newton pose polish on weighted correspondences.
+    Stereo rows (ur >= 0) contribute the right-column residual when given."""
+    if ur is None:
+        stereo = None
+    else:
+        stereo = (ur >= 0).astype(jnp.float32)
+        ur_safe = jnp.maximum(ur, 0.0)
 
     def body(_, Rt):
         R, t = Rt
@@ -75,20 +90,29 @@ def _gn_refine(R0, t0, pw, uv, weight_mask, fx, fy, cx, cy, huber_delta, iters=G
         iz = 1.0 / z
         u = fx * pc[:, 0] * iz + cx
         v = fy * pc[:, 1] * iz + cy
-        r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=-1)  # (N, 2)
+        if stereo is None:
+            r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=-1)  # (N, 2)
+        else:
+            r3 = (u - bf * iz - ur_safe) * stereo
+            r = jnp.stack([u - uv[:, 0], v - uv[:, 1], r3], axis=-1)
 
         rn = jnp.linalg.norm(r, axis=-1)
         w = weight_mask * jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-9))
 
-        # d(pixel)/d(pc): (N, 2, 3)
+        # d(pixel)/d(pc): (N, 2|3, 3)
         x, y = pc[:, 0], pc[:, 1]
-        J_pc = jnp.stack(
-            [
-                jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz * iz], -1),
-                jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz * iz], -1),
-            ],
-            axis=1,
-        )
+        rows = [
+            jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz * iz], -1),
+            jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz * iz], -1),
+        ]
+        if stereo is not None:
+            rows.append(
+                jnp.stack(
+                    [fx * iz * stereo, jnp.zeros_like(iz),
+                     (-fx * x * iz * iz + bf * iz * iz) * stereo], -1,
+                )
+            )
+        J_pc = jnp.stack(rows, axis=1)
         # d(pc)/d(xi) with left-multiplied increment: [I | -hat(pc)]
         J_xi = jnp.concatenate(
             [jnp.broadcast_to(jnp.eye(3), (pc.shape[0], 3, 3)), -hat(pc)], axis=-1
@@ -122,6 +146,8 @@ def pnp_ransac(
     t_init,
     n_hyp=N_HYP,
     gn_iters=GN_ITERS,
+    ur=None,
+    bf=0.0,
 ):
     """Robust PnP.
 
@@ -154,7 +180,7 @@ def pnp_ransac(
     # --- scoring (MSAC): truncated squared error, not a raw inlier count —
     # continuous scores make hypothesis selection stable under float noise
     # (approximates MAGSAC's marginalized scoring, Optimizer.cc:437 algo 38).
-    err2 = _reproj_err2(Rh, th, pw, uv, fx, fy, cx, cy)  # (n_hyp+1, N)
+    err2 = _reproj_err2(Rh, th, pw, uv, fx, fy, cx, cy, ur, bf)  # (n_hyp+1, N)
     thr2 = reproj_err * reproj_err
     inl = (err2 < thr2) & valid[None, :]
     counts = jnp.sum(inl.astype(jnp.int32), axis=1)
@@ -167,9 +193,9 @@ def pnp_ransac(
     w_mask = inliers0.astype(jnp.float32)
     R_ref, t_ref = _gn_refine(
         R_best, t_best, pw, uv, w_mask, fx, fy, cx, cy,
-        huber_delta=jnp.sqrt(thr2), iters=gn_iters,
+        huber_delta=jnp.sqrt(thr2), iters=gn_iters, ur=ur, bf=bf,
     )
-    err2_ref = _reproj_err2(R_ref, t_ref, pw, uv, fx, fy, cx, cy)
+    err2_ref = _reproj_err2(R_ref, t_ref, pw, uv, fx, fy, cx, cy, ur, bf)
     inliers = (err2_ref < thr2) & valid
     n_in = jnp.sum(inliers.astype(jnp.int32))
     msac_ref = jnp.sum(jnp.minimum(err2_ref, thr2) * valid)
@@ -191,14 +217,17 @@ def pnp_ransac(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyp", "gn_iters"))
-def pnp_ransac_fused(data, prior, intr, key, reproj_err, n_hyp=N_HYP, gn_iters=GN_ITERS):
-    """Fused-transfer PnP: one (N, 6) upload [pw(3) uv(2) valid], one (4, 3)
-    prior [R(3x3); t], one (4,) intrinsics [fx fy cx cy]."""
+@functools.partial(jax.jit, static_argnames=("n_hyp", "gn_iters", "stereo"))
+def pnp_ransac_fused(data, prior, intr, key, reproj_err, n_hyp=N_HYP,
+                     gn_iters=GN_ITERS, bf=0.0, stereo=False):
+    """Fused-transfer PnP: one (N, 6|7) upload [pw(3) uv(2) valid (ur)], one
+    (4, 3) prior [R(3x3); t], one (4,) intrinsics [fx fy cx cy]. With
+    stereo=True, column 6 carries the right-image u (ur < 0 = mono row)."""
     pw = data[:, 0:3]
     uv = data[:, 3:5]
     valid = data[:, 5] > 0
+    ur = data[:, 6] if stereo else None
     return pnp_ransac(
         pw, uv, valid, intr[0], intr[1], intr[2], intr[3], key, reproj_err,
-        prior[:3], prior[3], n_hyp=n_hyp, gn_iters=gn_iters,
+        prior[:3], prior[3], n_hyp=n_hyp, gn_iters=gn_iters, ur=ur, bf=bf,
     )

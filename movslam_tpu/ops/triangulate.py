@@ -57,10 +57,21 @@ _PAIR_BUCKETS = (128, 512, 2048, 8192)
 _pairs_jit = jax.jit(triangulate_pairs)
 
 
+@jax.jit
+def _pairs_wire_jit(wire):
+    """Single-upload variant: wire (C+1, 16) f32 — row 0 = P1 flat (12);
+    rows 1.. = [P2 flat (12) | x1 (2) | x2 (2)]."""
+    P1 = wire[0, 0:12].reshape(3, 4)
+    P2s = wire[1:, 0:12].reshape(-1, 3, 4)
+    x1 = wire[1:, 12:14]
+    x2 = wire[1:, 14:16]
+    return triangulate_pairs(P1, P2s, x1, x2)
+
+
 def triangulate_pairs_padded(P1, P2s, x1, x2):
     """Host helper: pad the batch to a fixed bucket size so XLA compiles a
     handful of shapes instead of one per candidate count (the mapper calls
-    this with a different N every keyframe)."""
+    this with a different N every keyframe). ONE fused upload + ONE pull."""
     import numpy as np
 
     n = x1.shape[0]
@@ -69,15 +80,12 @@ def triangulate_pairs_padded(P1, P2s, x1, x2):
     cap = next((b for b in _PAIR_BUCKETS if b >= n), _PAIR_BUCKETS[-1])
     n = min(n, cap)
 
-    def pad(a):
-        out = np.zeros((cap,) + a.shape[1:], np.float32)
-        out[:n] = a[:n]
-        return out
-
-    X = _pairs_jit(
-        jnp.asarray(P1, jnp.float32), jnp.asarray(pad(P2s)),
-        jnp.asarray(pad(x1)), jnp.asarray(pad(x2)),
-    )
+    wire = np.zeros((cap + 1, 16), np.float32)
+    wire[0, 0:12] = np.asarray(P1, np.float32).reshape(-1)
+    wire[1 : n + 1, 0:12] = np.asarray(P2s[:n], np.float32).reshape(n, 12)
+    wire[1 : n + 1, 12:14] = x1[:n]
+    wire[1 : n + 1, 14:16] = x2[:n]
+    X = _pairs_wire_jit(jnp.asarray(wire))
     return np.asarray(X)[:n]
 
 

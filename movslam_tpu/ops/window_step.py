@@ -1,0 +1,146 @@
+"""Windowed multi-frame tracking: W frames per device dispatch.
+
+The TPU rebuild's throughput axis (SURVEY.md §5 "batched-time"): the
+reference's decoder keeps a 12-deep lookahead queue
+(/root/reference/src/VideoDecoder.cc:163-368,
+Examples/Monocular/mono_video_tartan.cc:55), so W decoded MV frames are
+available ahead of the tracker at any time. Instead of one device dispatch
+per frame (whose host<->device round trips put a hard floor under per-frame
+latency on remote TPUs), this program `lax.scan`s the fused frame body
+(ops/frame_step._frame_program_body) across a window of W frames:
+
+    carry  : TrackState, previous image, PRNG key, pose chain
+             (last pose + constant-velocity model, Tracking.cc:414-424)
+    per it : MV propagation + coverage LK + seeding + snapshot matching +
+             two-stage PnP — identical math to the per-frame program
+    ys     : per-frame packed track exports + pose/inlier scalars +
+             snapshot-visibility masks
+
+The host replays the W per-frame results through the unchanged Tracking
+state machine (keyframe decisions, map bookkeeping). The map snapshot is
+frozen for the window — a keyframe created at frame k inside the window
+only becomes matchable at the next window, which is the batching's only
+semantic deviation (bounded by W frames; the reference's own mapper-thread
+latency delays new points similarly, LocalMapping.cc:50-115).
+
+Transfer budget: 2 uploads (image stack, MV stack) + 1 dispatch + 1 pull
+for W frames, vs W * (2 uploads + 1 pull) in per-frame mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .frame_step import _frame_program_body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_mvs", "reproj_err", "threshold", "coverage_threshold",
+        "capacity", "max_cov", "has_dist", "has_stereo",
+    ),
+)
+def tracked_window_step(
+    imgs,
+    prev_img,
+    prev_state,
+    mvk_packs,
+    pose_pack,
+    snap_fused,
+    intr,
+    key,
+    dist_pack=None,
+    imgs_right=None,
+    *,
+    n_mvs,
+    reproj_err,
+    threshold,
+    coverage_threshold,
+    capacity,
+    max_cov,
+    has_dist=False,
+    has_stereo=False,
+):
+    """W-frames-per-dispatch tracking program.
+
+    imgs      : (W, H, Wd) u8 — the window's gray frames.
+    prev_img  : (H, Wd) u8 — frame before the window (device-resident).
+    prev_state: TrackState entering the window.
+    mvk_packs : (W, M+K+2, 8) f32 — per-frame packed_joint() + 2 trailer
+                rows; trailer flat[12] = coverage_area (prior pose slots are
+                ignored: the pose chain is computed on device).
+    pose_pack : (25,) f32 — [last_R(9) | last_t(3) | vel_R(9) | vel_t(3) |
+                has_vel(1)]: the pose chain's entry point (last frame's pose
+                plus the host's constant-velocity model if any).
+    Returns dict(state, key, wire) where wire flattens, per frame-major:
+    W*(N*14) packed | W*16 scalars | W*P visibility.
+    """
+    W = imgs.shape[0]
+    N = prev_state.pt.shape[0]
+    P = snap_fused.shape[0]
+
+    last_R = pose_pack[0:9].reshape(3, 3)
+    last_t = pose_pack[9:12]
+    vel_R = pose_pack[12:21].reshape(3, 3)
+    vel_t = pose_pack[21:24]
+    has_vel = pose_pack[24] > 0
+
+    def body(carry, xs):
+        state, p_img, k, l_R, l_t, v_R, v_t, h_v = carry
+        if has_stereo:
+            img, mvk, img_r = xs
+        else:
+            img, mvk = xs
+            img_r = None
+        aux = mvk[-2:].reshape(-1)
+        coverage_area = aux[12]
+        mvk = mvk[:-2]
+        mv_pack = mvk[:n_mvs]
+        kps_pack = mvk[n_mvs:, 0:5]
+
+        # Constant-velocity prior (Tracking.cc:414-424): T_prior = T_vel *
+        # T_last when a velocity exists, else T_last.
+        prior_R = jnp.where(h_v, v_R @ l_R, l_R)
+        prior_t = jnp.where(h_v, v_R @ l_t + v_t, l_t)
+
+        k, sub = jax.random.split(k)
+        new_state, packed, scalars, snap_visible, R2, t2, chain_ok = (
+            _frame_program_body(
+                img, p_img, state, mv_pack, kps_pack, coverage_area,
+                prior_R, prior_t, snap_fused,
+                intr, sub, dist_pack, img_r,
+                reproj_err=reproj_err, threshold=threshold,
+                coverage_threshold=coverage_threshold, capacity=capacity,
+                max_cov=max_cov, has_dist=has_dist, has_stereo=has_stereo,
+            )
+        )
+        # Pose chain mirrors the host replay: on ref-gate/solve failure the
+        # frame keeps the previous pose (track_fused failure branch).
+        R_cur = jnp.where(chain_ok, R2, l_R)
+        t_cur = jnp.where(chain_ok, t2, l_t)
+        # Velocity = T_cur * T_last^-1 (identity when the pose held still).
+        v_R_new = R_cur @ l_R.T
+        v_t_new = t_cur - v_R_new @ l_t
+        carry_out = (
+            new_state, img, k, R_cur, t_cur, v_R_new, v_t_new,
+            jnp.asarray(True),
+        )
+        ys = (packed, scalars, snap_visible)
+        return carry_out, ys
+
+    carry0 = (prev_state, prev_img, key, last_R, last_t, vel_R, vel_t, has_vel)
+    xs = (imgs, mvk_packs, imgs_right) if has_stereo else (imgs, mvk_packs)
+    carry, (packed_w, scalars_w, vis_w) = jax.lax.scan(body, carry0, xs)
+    state_out, _, key_out = carry[0], carry[1], carry[2]
+
+    wire = jnp.concatenate(
+        [
+            packed_w.reshape(-1),                       # W*N*14
+            scalars_w.reshape(-1),                      # W*16
+            vis_w.astype(jnp.float32).reshape(-1),      # W*P
+        ]
+    )
+    return {"state": state_out, "key": key_out, "wire": wire}

@@ -61,3 +61,34 @@ def test_decoder_error_on_missing_file():
     dec = VideoDecoder("/nonexistent/file.mp4")
     with pytest.raises(RuntimeError, match="failed to open"):
         dec.init()
+
+
+def test_h264_operating_point_decode(tmp_path):
+    """Encode with REAL libx264 at the reference operating point (keyint=1000,
+    ref=2, p8x8/p4x4 partitions, me=umh — README.md:47-69) via the native
+    encoder helper, then decode: P-frames must produce dense MV records with
+    in-range back-pointers and high coverage."""
+    from movslam_tpu.io.video import VideoDecoder, encode_gray
+    from movslam_tpu.io.mvimage import FrameType
+
+    stream = SyntheticStream(n_points=150, seed=4)
+    frames = np.stack([stream.render(k)[0] for k in range(20)])
+    path = str(tmp_path / "x264.mp4")
+    encode_gray(path, frames, fps=30.0, keyint=1000, refs=2)
+
+    dec = VideoDecoder(path, qlen=12)
+    dec.init()
+    out = list(dec)
+    assert len(out) == 20
+    assert out[0].ft == FrameType.I_FRAME
+    p = [f for f in out if f.ft == FrameType.P_FRAME]
+    assert len(p) == 19  # keyint=1000: single leading I-frame
+    dense = [f for f in p if f.n_mvs > 300]
+    assert len(dense) >= 10, [f.n_mvs for f in p]
+    for f in dense[:5]:
+        assert f.coverage_area > 0.3
+        d = f.mv_dindx[: f.n_mvs]
+        assert d.max() < max(f.n_kps, 1)
+        r = f.mv_rect[: f.n_mvs]
+        assert (r[:, 0] >= 0).all() and (r[:, 2] <= 639).all()
+        assert (r[:, 0] <= r[:, 2]).all() and (r[:, 1] <= r[:, 3]).all()

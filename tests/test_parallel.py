@@ -16,7 +16,10 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out["packed"])
     assert out["packed"].shape[0] == args[2].capacity
-    assert out["scalars"].shape == (15,)
+    from movslam_tpu.ops.frame_step import N_SCALARS, PACKED_COLS
+
+    assert out["packed"].shape[1] == PACKED_COLS
+    assert out["scalars"].shape == (N_SCALARS,)
 
 
 def test_dryrun_multichip():

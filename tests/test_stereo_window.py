@@ -1,0 +1,73 @@
+"""Windowed stereo front end: on-device depth (frame body stage 1c), stereo
+rows in the per-frame PnP, and gauge stability across seeds (the round-1
+early-map wobble regression)."""
+import numpy as np
+import pytest
+
+from movslam_tpu.config.settings import STEREO, Settings
+from movslam_tpu.core.camera import Pinhole
+from movslam_tpu.core.system import System
+from movslam_tpu.core.verbose import Verbose
+from movslam_tpu.io.synthetic_stereo import SyntheticStereoStream
+
+Verbose.level = Verbose.QUIET
+
+
+def _settings():
+    s = Settings()
+    s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
+    s.fps = 30.0
+    s.sensor = STEREO
+    s.b = 0.25
+    s.bf = 0.25 * 320.0
+    s.th_depth = 50.0
+    return s
+
+
+def _run(seed, n=40, windowed=True):
+    stream = SyntheticStereoStream(seed=seed)
+    items = [
+        (l.timestamp, l, r) for l, r in stream.pairs(n)
+    ]
+    sys_s = System(_settings(), STEREO)
+    if windowed:
+        k = 0
+        while k < len(items):
+            sys_s.track_stereo_batch(items[k : k + 8])
+            k += 8
+    else:
+        for ts, l, r in items:
+            sys_s.track_stereo(ts, l, r)
+    sys_s.shutdown()
+    # Per-frame absolute trajectory error vs ground truth (metric).
+    errs = []
+    for k, (R_rel, t_rel) in enumerate(sys_s.tracking.rel_poses):
+        ref = sys_s.tracking.rel_refs[k]
+        R = R_rel @ ref.R
+        t = R_rel @ ref.t + t_rel
+        C = -(R.T @ t)
+        R_gt, t_gt = stream.gt_pose(k + 1)
+        C_gt = -(R_gt.T @ t_gt)
+        errs.append(np.linalg.norm(C - C_gt))
+    return sys_s, np.array(errs)
+
+
+@pytest.mark.slow
+def test_stereo_windowed_tracks_metric():
+    sys_s, errs = _run(seed=5)
+    assert sys_s.get_total_lost() == 0
+    # Stereo is metric: no scale alignment allowed.
+    assert np.median(errs) < 0.10, np.median(errs)
+    assert errs.max() < 0.30, errs.max()
+
+
+@pytest.mark.slow
+def test_stereo_gauge_stable_across_seeds():
+    """Round-1 weakness: a ~0.2 m PnP wobble between the 2nd and 3rd KF baked
+    into the gauge on some seeds. With stereo rows in the per-frame solve the
+    early-map pose stays metric across seeds."""
+    meds = []
+    for seed in (1, 7, 23):
+        _, errs = _run(seed=seed, n=30)
+        meds.append(np.median(errs))
+    assert max(meds) < 0.12, meds

@@ -1,0 +1,114 @@
+"""Windowed W-frames-per-dispatch front end (ops/window_step +
+System.track_monocular_batch): must track the synthetic stream without loss
+and agree with the per-frame fused path."""
+import numpy as np
+import pytest
+
+from movslam_tpu.config.settings import MONOCULAR, Settings
+from movslam_tpu.core.camera import Pinhole
+from movslam_tpu.core.system import System
+from movslam_tpu.core.verbose import Verbose
+from movslam_tpu.io.synthetic import SyntheticStream
+
+Verbose.level = Verbose.QUIET
+
+
+def _settings():
+    s = Settings()
+    s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
+    s.fps = 30.0
+    s.sensor = MONOCULAR
+    return s
+
+
+@pytest.fixture(scope="module")
+def stream_items():
+    stream = SyntheticStream(n_points=400, seed=42)
+    frames = [stream.frame(k) for k in range(48)]
+    return [(f.timestamp, f) for f in frames]
+
+
+def test_windowed_tracks_without_loss(stream_items):
+    sys_w = System(_settings(), MONOCULAR)
+    k = 0
+    while k < len(stream_items):
+        sys_w.track_monocular_batch(stream_items[k : k + 8])
+        k += 8
+    sys_w.shutdown()
+    assert sys_w.get_total_lost() == 0
+    assert sys_w.atlas.current.n_keyframes() >= 5
+    assert sys_w.image_count == len(stream_items)
+    assert len(sys_w.tracking.rel_poses) >= len(stream_items) - 3
+
+
+def test_windowed_agrees_with_per_frame(stream_items):
+    sys_w = System(_settings(), MONOCULAR)
+    k = 0
+    while k < len(stream_items):
+        sys_w.track_monocular_batch(stream_items[k : k + 8])
+        k += 8
+    sys_w.shutdown()
+
+    sys_p = System(_settings(), MONOCULAR)
+    for ts, f in stream_items:
+        sys_p.track_monocular(ts, f)
+    sys_p.shutdown()
+
+    tw = np.array([p[1] for p in sys_w.tracking.rel_poses])
+    tp = np.array([p[1] for p in sys_p.tracking.rel_poses])
+    n = min(len(tw), len(tp))
+    med = np.median(np.abs(tw[:n] - tp[:n]))
+    # Same math, different PRNG chains: trajectories agree to a few mm on a
+    # ~1.6 m path (the pipeline is chaotic; bit-exactness is not expected).
+    assert med < 0.05, med
+
+
+def test_windowed_mixed_batch_with_iframe(stream_items):
+    """An I-frame inside a batch must break the window and take the LK path."""
+    from movslam_tpu.io.mvimage import FrameType
+
+    items = [list(x) for x in stream_items[:24]]
+    items[13][1].ft = FrameType.I_FRAME
+    items = [tuple(x) for x in items]
+    sys_w = System(_settings(), MONOCULAR)
+    k = 0
+    while k < len(items):
+        sys_w.track_monocular_batch(items[k : k + 8])
+        k += 8
+    sys_w.shutdown()
+    assert sys_w.image_count == 24
+    assert sys_w.get_total_lost() <= 1
+
+
+@pytest.mark.slow
+def test_golden_ate_windowed():
+    """Golden-ATE regression gate (round-1 weakness: no tight ATE bound).
+    Fixed seeds, windowed drive, scale-aligned ATE against ground truth."""
+    from evaluation.evaluator import umeyama_alignment
+
+    for seed in (42, 7):
+        stream = SyntheticStream(n_points=400, seed=seed)
+        items = [(f.timestamp, f) for f in [stream.frame(k) for k in range(60)]]
+        sys_w = System(_settings(), MONOCULAR)
+        k = 0
+        while k < len(items):
+            sys_w.track_monocular_batch(items[k : k + 8])
+            k += 8
+        sys_w.shutdown()
+        assert sys_w.get_total_lost() == 0, seed
+
+        est, gt = [], []
+        for k, (R_rel, t_rel) in enumerate(sys_w.tracking.rel_poses):
+            ref = sys_w.tracking.rel_refs[k]
+            R = R_rel @ ref.R
+            t = R_rel @ ref.t + t_rel
+            est.append(-(R.T @ t))
+            R_gt, t_gt = stream.gt_pose(k + 1)
+            gt.append(-(R_gt.T @ t_gt))
+        est, gt = np.array(est), np.array(gt)
+        s, Ra, ta = umeyama_alignment(gt, est, with_scale=True)
+        resid = gt - (s * est @ Ra.T + ta)
+        ate = float(np.sqrt(np.mean(np.sum(resid**2, axis=1))))
+        span = float(np.linalg.norm(np.ptp(gt, axis=0)))
+        # Tight bound: ATE under 6% of the trajectory span per seed.
+        assert ate < 0.06 * span, (seed, ate, span)
