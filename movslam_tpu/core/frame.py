@@ -71,25 +71,33 @@ class Frame:
         return len(self.track_ids)
 
     @staticmethod
-    def from_packed(packed, timestamp=0.0, image=None, fid=None, stereo=False):
-        """Build from the fused frame program's single packed export
-        (ops/frame_step: pt(2) tid(1,i32 bits) age(1) desc(8,u32 bits)
-        match_idx(1) flags(1) pt_un(2) depth(1) ur(1))."""
+    def from_packed(packed, timestamp=0.0, image=None, fid=None,
+                    has_dist=False, stereo=False):
+        """Build from the fused frame program's packed export (layout per
+        ops/frame_step.packed_cols: pt(2) tid(i32 bits) age midx flags
+        [pt_un(2) if has_dist] [depth ur if stereo]). Descriptors stay
+        device-side (desc_w channel); Frame.desc is None here and is
+        attached lazily when the frame becomes a keyframe."""
         f = Frame(None, timestamp=timestamp, image=image, fid=fid)
-        flags = packed[:, 13].astype(np.int64)
+        flags = packed[:, 5].astype(np.int64)
         valid = (flags & 4) != 0
         rows = np.flatnonzero(valid)
         sel = packed[rows]
         f.pts_raw = sel[:, 0:2].astype(np.float64)
-        f.pts = sel[:, 14:16].astype(np.float64)  # undistorted (geometry)
+        c = 6
+        if has_dist:
+            f.pts = sel[:, 6:8].astype(np.float64)  # undistorted (geometry)
+            c = 8
+        else:
+            f.pts = f.pts_raw
+        if stereo:
+            f.depth_right = sel[:, c].astype(np.float64)
+            f.uright = sel[:, c + 1].astype(np.float64)
         f.track_ids = np.ascontiguousarray(sel[:, 2], np.float32).view(np.int32).astype(np.int64)
         f.ages = sel[:, 3].astype(np.int32)
-        f.desc = np.ascontiguousarray(sel[:, 4:12], np.float32).view(np.uint32)
+        f.desc = None
         f.cap_rows = rows
         n = len(rows)
-        if stereo:
-            f.depth_right = sel[:, 16].astype(np.float64)
-            f.uright = sel[:, 17].astype(np.float64)
         f.mappoints = [None] * n
         f.outlier = np.zeros(n, bool)
         f.track_index = {}
@@ -99,7 +107,7 @@ class Frame:
         fl = flags[rows]
         f._fused_matched = (fl & 1) != 0
         f._fused_inlier = (fl & 2) != 0
-        f._fused_midx = sel[:, 12].astype(np.int64)
+        f._fused_midx = sel[:, 4].astype(np.int64)
         return f
 
     def set_pose(self, R, t):

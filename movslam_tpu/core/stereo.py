@@ -28,7 +28,8 @@ def compute_stereo_depth(frame, img_left, img_right, settings):
     pts = np.zeros((cap, 2), np.float32)
     valid = np.zeros(cap, bool)
     k = min(n, cap)
-    pts[:k] = frame.pts_raw[:k]
+    src = frame.pts_raw if len(frame.pts_raw) else frame.pts
+    pts[:k] = src[:k]
     valid[:k] = True
 
     out_pts, status = lk_track(

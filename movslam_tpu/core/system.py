@@ -197,7 +197,7 @@ class System:
         trailer.reshape(-1)[0:9] = np.asarray(R_prior, np.float32).reshape(-1)
         trailer.reshape(-1)[9:12] = t_prior
         trailer.reshape(-1)[12] = smv.coverage_area
-        from ..ops.frame_step import PACKED_COLS, N_SCALARS
+        from ..ops.frame_step import N_SCALARS, packed_cols, unpack_bits_np
 
         out = tracked_frame_step(
             img_dev,
@@ -220,14 +220,17 @@ class System:
         tr._pnp_key = out["key"]
         state = out["state"]
         # ONE pull (device_get is one RPC per pytree LEAF on the remote TPU):
-        # wire = N*PACKED_COLS packed | N_SCALARS | P visibility flags.
+        # wire = N*packed_cols | N_SCALARS | P/32 visibility bit-words.
+        C = packed_cols(self._has_dist, False)
         wire = np.asarray(out["wire"])
         N = self.extractor.capacity
-        packed = wire[: N * PACKED_COLS].reshape(N, PACKED_COLS)
-        scal = wire[N * PACKED_COLS : N * PACKED_COLS + N_SCALARS]
-        vis = wire[N * PACKED_COLS + N_SCALARS :] > 0
+        packed = wire[: N * C].reshape(N, C)
+        scal = wire[N * C : N * C + N_SCALARS]
+        P = snap.fused.shape[0]
+        vis = unpack_bits_np(wire[N * C + N_SCALARS :], P)
         frame = Frame.from_packed(
-            packed, timestamp=timestamp, image=smv.im_gray, fid=self.image_count
+            packed, timestamp=timestamp, image=smv.im_gray,
+            fid=self.image_count, has_dist=self._has_dist,
         )
         host_out = {
             "R": scal[0:9].reshape(3, 3).astype(np.float64),
@@ -283,6 +286,12 @@ class System:
                 ):
                     run.append(items[j])
                     j += 1
+                # Bucket the window length to a power of two: every
+                # distinct W compiles its own XLA program, and keyframe
+                # rewinds would otherwise produce arbitrary leftover lengths
+                # (one slow compile each on a remote TPU).
+                L = 1 << (len(run).bit_length() - 1)
+                run = run[:L]
                 if len(run) >= 2:
                     poses, consumed = self._track_window(run)
                     results.extend(poses[:consumed])
@@ -322,9 +331,13 @@ class System:
         # wall-clock is_ready poll starves KFs when W frames replay in
         # microseconds; the reference mapper is busy ~1-3 frame times per KF,
         # LocalMapping.cc:57,106).
-        if self.mapper.throttle_mode != "frames":
-            self.mapper.throttle_mode = "frames"
-            self.mapper.busy_frames = 3
+        self.mapper.throttle_mode = "frames"
+        # Adaptive cadence: a young map needs dense keyframes (losses at
+        # sparse cadence happen in the first seconds); a mature one tracks
+        # comfortably at ~1 KF per window.
+        self.mapper.busy_frames = (
+            3 if self.atlas.current.n_keyframes() < 8 else self.window - 2
+        )
         self._refresh_snapshot()
         snap = self._snapshot
         if snap is None:
@@ -357,7 +370,7 @@ class System:
             pose_pack[21:24] = tv
             pose_pack[24] = 1.0
 
-        from ..ops.frame_step import PACKED_COLS, N_SCALARS
+        from ..ops.frame_step import N_SCALARS, packed_cols, unpack_bits_np
 
         out = tracked_window_step(
             imgs_dev,
@@ -381,15 +394,17 @@ class System:
         )
         tr._pnp_key = out["key"]
 
-        # ONE pull for the whole window.
+        # ONE pull for the whole window (visibility bit-packed, descriptors
+        # device-side — D2H bandwidth is the scarce resource).
+        C = packed_cols(self._has_dist, stereo)
         wire = np.asarray(out["wire"])
         N = self.extractor.capacity
         P = snap.fused.shape[0]
-        o1 = W * N * PACKED_COLS
+        o1 = W * N * C
         o2 = o1 + W * N_SCALARS
-        packed_w = wire[:o1].reshape(W, N, PACKED_COLS)
+        packed_w = wire[:o1].reshape(W, N, C)
         scal_w = wire[o1:o2].reshape(W, N_SCALARS)
-        vis_w = wire[o2:].reshape(W, P) > 0
+        visbits_w = wire[o2:].reshape(W, P // 32)
 
         poses = []
         consumed = 0
@@ -398,7 +413,7 @@ class System:
             scal = scal_w[k]
             frame = Frame.from_packed(
                 packed_w[k], timestamp=ts, image=smv.im_gray,
-                fid=self.image_count, stereo=stereo,
+                fid=self.image_count, has_dist=self._has_dist, stereo=stereo,
             )
             host_out = {
                 "R": scal[0:9].reshape(3, 3).astype(np.float64),
@@ -406,7 +421,7 @@ class System:
                 "n_ref_inliers": int(scal[12]),
                 "n_inliers": int(scal[13]),
                 "ok": scal[14] > 0,
-                "snap_visible": vis_w[k],
+                "snap_visible": unpack_bits_np(visbits_w[k], P),
             }
             tr.track_fused(frame, host_out, snap)
             self.mapper.tick()
@@ -422,22 +437,41 @@ class System:
                 break
             # A keyframe created at this frame changes the map (new points,
             # new reference KF): the rest of the window was tracked against
-            # a now-stale snapshot. Rewind so every consumed frame saw a
-            # current snapshot — identical semantics to the per-frame path,
-            # at the cost of re-dispatching the speculated remainder.
-            if tr.last_kf_frame_id == frame.id and k + 1 < W:
-                break
+            # a now-stale snapshot. When the upcoming frames are HEALTHY
+            # (next frame's local-map inliers comfortably above the 30 gate)
+            # we keep consuming — intra-window staleness is bounded by W
+            # frames, and the reference's own mapper-thread latency delays
+            # new points similarly. Only rewind (re-dispatch the remainder
+            # against a fresh snapshot) when the margin is thin.
+            if tr.last_kf_frame_id == frame.id:
+                # Descriptors live device-side; archive them on the new
+                # keyframe (checkpoint parity) with one small pull.
+                kf = tr.last_kf
+                if kf is not None and len(frame.cap_rows):
+                    kf.desc = np.asarray(out["desc_w"][k])[frame.cap_rows]
+                # Stereo and young maps always rewind (stale-snapshot frames
+                # measurably degrade the gauge while it is still forming);
+                # mature mono continues unless the health margin is thin.
+                if k + 1 < W and (
+                    stereo
+                    or self.atlas.current.n_keyframes() < 10
+                    or int(scal_w[k + 1, 13]) < 45
+                ):
+                    break
 
         if consumed == W and tr.state == State.OK:
             self._prev_state = out["state"]
             self._prev_img = imgs_dev[-1]
         else:
-            # Rewind the device track state to the last consumed frame.
+            # Rewind the device track state to the last consumed frame —
+            # rebuilt ON DEVICE from the packed/desc side channels.
             k = consumed - 1
             next_id = int(
                 np.ascontiguousarray(scal_w[k, 15:16]).view(np.int32)[0]
             )
-            self._prev_state = TrackState.from_packed(packed_w[k], next_id)
+            self._prev_state = TrackState.rebuild(
+                out["packed_w"][k], out["desc_w"][k], next_id
+            )
             self._prev_img = imgs_dev[k]
         self.extractor._next_id_dev = self._prev_state.next_id
 
@@ -530,6 +564,8 @@ class System:
                 ):
                     run.append(items[j])
                     j += 1
+                L = 1 << (len(run).bit_length() - 1)  # pow2 buckets (see mono)
+                run = run[:L]
                 if len(run) >= 2:
                     poses, consumed = self._track_window(run)
                     results.extend(poses[:consumed])

@@ -49,6 +49,15 @@ class TrackState:
         return jnp.sum(self.valid.astype(jnp.int32))
 
     @staticmethod
+    def rebuild(packed, desc, next_id):
+        """Rebuild a TrackState ON DEVICE from a fused-program packed export
+        (ops/frame_step leading cols: pt(2) tid(i32 bits) age midx flags) +
+        the device-resident descriptor row (window desc_w side channel).
+        Used to rewind to a mid-window frame — no host round trip (mb_wh is
+        not exported; the 16x16 default is restored)."""
+        return _rebuild_state(packed, desc, jnp.asarray(next_id, jnp.int32))
+
+    @staticmethod
     def empty(capacity=MAX_TRACKS, next_id=0):
         return TrackState(
             pt=jnp.zeros((capacity, 2), jnp.float32),
@@ -59,30 +68,6 @@ class TrackState:
             coverage=jnp.zeros((capacity,), jnp.bool_),
             valid=jnp.zeros((capacity,), jnp.bool_),
             next_id=jnp.asarray(next_id, jnp.int32),
-        )
-
-    @staticmethod
-    def from_packed(packed, next_id):
-        """Rebuild a full-capacity TrackState from a fused-program packed
-        export row-set (ops/frame_step: pt(2) tid(i32 bits) age desc(8, u32
-        bits) midx flags). Used to rewind the device state to a mid-window
-        frame after a tracking-loss fallback (mb_wh is not exported; the
-        16x16 default is restored — only seeds within the discarded frames
-        could have differed)."""
-        packed = np.asarray(packed, np.float32)
-        N = packed.shape[0]
-        flags = packed[:, 13].astype(np.int64)
-        valid = (flags & 4) != 0
-        tid = np.ascontiguousarray(packed[:, 2]).view(np.int32)
-        return TrackState(
-            pt=jnp.asarray(packed[:, 0:2]),
-            track_id=jnp.asarray(np.where(valid, tid, -1).astype(np.int32)),
-            age=jnp.asarray(packed[:, 3].astype(np.int32)),
-            desc=jnp.asarray(np.ascontiguousarray(packed[:, 4:12]).view(np.uint32)),
-            mb_wh=jnp.full((N, 2), 16.0, jnp.float32),
-            coverage=jnp.asarray((flags & 8) != 0),
-            valid=jnp.asarray(valid),
-            next_id=jnp.asarray(int(next_id), jnp.int32),
         )
 
     def to_numpy(self):
@@ -101,3 +86,21 @@ class TrackState:
             "next_id": int(h.next_id),
             "rows": np.flatnonzero(v),  # compacted slot -> capacity row
         }
+
+
+@jax.jit
+def _rebuild_state(packed, desc, next_id):
+    flags = packed[:, 5].astype(jnp.int32)
+    valid = (flags & 4) != 0
+    tid = jax.lax.bitcast_convert_type(packed[:, 2], jnp.int32)
+    N = packed.shape[0]
+    return TrackState(
+        pt=packed[:, 0:2],
+        track_id=jnp.where(valid, tid, -1),
+        age=packed[:, 3].astype(jnp.int32),
+        desc=desc,
+        mb_wh=jnp.full((N, 2), 16.0, jnp.float32),
+        coverage=(flags & 8) != 0,
+        valid=valid,
+        next_id=next_id,
+    )

@@ -191,25 +191,38 @@ def ba_solve(
 
         Yp = jnp.einsum("pmij,pjk->pmik", Wp, Hll_inv)  # (P, MOPP, 6, 3)
 
-        S = jnp.zeros((K * K, 6, 6))
+        # All (m, n) observation pairs of every point in ONE batched einsum +
+        # ONE segment-sum (the previous MOPP^2 fori_loop of scatter-adds
+        # serialized ~256 tiny kernels and dominated local-BA latency).
+        # Large point counts (global BA) chunk over the m axis to bound the
+        # (P, M, M, 6, 6) intermediate.
+        if P * MOPP * MOPP * 36 * 4 <= 200 * 1024 * 1024:
+            pair_blk = -jnp.einsum(
+                "pmik,pnjk->pmnij", Yp, Wp, preferred_element_type=jnp.float32
+            )  # (P, MOPP, MOPP, 6, 6)
+            pm = (pad_mask[:, :, None] * pad_mask[:, None, :])[..., None, None]
+            seg = (kfp[:, :, None] * K + kfp[:, None, :]).reshape(-1)
+            S = jax.ops.segment_sum(
+                (pair_blk * pm).reshape(-1, 6, 6), seg, num_segments=K * K
+            )
+        else:
+            def m_chunk(m, S_acc):
+                Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
+                km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
+                mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
+                blk = -jnp.einsum(
+                    "pik,pnjk->pnij", Ym, Wp, preferred_element_type=jnp.float32
+                ) * (mm[:, None] * pad_mask)[..., None, None]
+                seg = (km[:, None] * K + kfp).reshape(-1)
+                return S_acc + jax.ops.segment_sum(
+                    blk.reshape(-1, 6, 6), seg, num_segments=K * K
+                )
+
+            S = jax.lax.fori_loop(
+                0, MOPP, m_chunk, jnp.zeros((K * K, 6, 6))
+            )
         Hpp_d = Hpp + lam * eye6[None]
         S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
-
-        def pair_body(m, S):
-            Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
-            km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
-            mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
-
-            def inner(n, S):
-                Wn = jax.lax.dynamic_index_in_dim(Wp, n, axis=1, keepdims=False)
-                kn = jax.lax.dynamic_index_in_dim(kfp, n, axis=1, keepdims=False)
-                mn = jax.lax.dynamic_index_in_dim(pad_mask, n, axis=1, keepdims=False)
-                blk = -jnp.einsum("pik,pjk->pij", Ym, Wn) * (mm * mn)[:, None, None]
-                return S.at[km * K + kn].add(blk)
-
-            return jax.lax.fori_loop(0, MOPP, inner, S)
-
-        S = jax.lax.fori_loop(0, MOPP, pair_body, S)
         S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
 
         # Mask out fixed/invalid keyframes: identity rows/cols, zero rhs.

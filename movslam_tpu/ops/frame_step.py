@@ -29,8 +29,20 @@ import jax.numpy as jnp
 from .pnp import pnp_ransac
 
 SNAP_CAP = 4096  # map-snapshot capacity (points)
-PACKED_COLS = 18  # per-slot export width (see _frame_program_body stage 5)
 N_SCALARS = 16
+
+
+def packed_cols(has_dist=False, has_stereo=False):
+    """Per-slot export width (stage 5): pt(2) tid age midx flags, plus
+    pt_un(2) only for distorted cameras, plus depth+ur only for stereo.
+    D2H bandwidth through a remote TPU is the scarce resource — the wire
+    carries only what the active configuration consumes (descriptors stay
+    device-side; see desc_w)."""
+    return 6 + (2 if has_dist else 0) + (2 if has_stereo else 0)
+
+
+# Legacy constant for the widest layout (tests/tools); prefer packed_cols().
+PACKED_COLS = packed_cols(True, True)
 
 
 def undistort_points_jax(uv, intr, dist):
@@ -232,33 +244,31 @@ def _frame_program_body(
         k2, reproj_err, R1, t1, ur=ur_pnp, bf=bf_s,
     )
 
-    # --- 5. packed export: leaf-per-RPC device pulls dominate remote-TPU
-    # latency, so everything the host needs travels as TWO arrays.
+    # --- 5. packed export. D2H bandwidth over a remote TPU is ~15-75 MB/s
+    # (measured), so the wire carries only what the host consumes for the
+    # active configuration (packed_cols); descriptors stay device-resident
+    # (desc_w in the window program / state in the per-frame one).
     N = state.pt.shape[0]
     tid_f = jax.lax.bitcast_convert_type(state.track_id, jnp.float32)
-    desc_f = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(state.desc, jnp.int32), jnp.float32
-    )
     flags = (
         use2.astype(jnp.int32)
         + 2 * res2["inliers"].astype(jnp.int32)
         + 4 * state.valid.astype(jnp.int32)
         + 8 * state.coverage.astype(jnp.int32)
     ).astype(jnp.float32)
-    packed = jnp.concatenate(
-        [
-            state.pt,                      # 0:2 raw pixels
-            tid_f[:, None],                # 2 (i32 bits)
-            state.age.astype(jnp.float32)[:, None],  # 3
-            desc_f,                        # 4:12 (u32 bits)
-            jnp.maximum(midx, -1).astype(jnp.float32)[:, None],  # 12
-            flags[:, None],                # 13
-            pt_un,                         # 14:16 undistorted (geometry)
-            depth[:, None],                # 16 stereo depth (-1 = none)
-            ur[:, None],                   # 17 right-image u (-1 = none)
-        ],
-        axis=1,
-    )  # (N, PACKED_COLS)
+    cols = [
+        state.pt,                      # 0:2 raw pixels
+        tid_f[:, None],                # 2 (i32 bits)
+        state.age.astype(jnp.float32)[:, None],  # 3
+        jnp.maximum(midx, -1).astype(jnp.float32)[:, None],  # 4
+        flags[:, None],                # 5
+    ]
+    if has_dist:
+        cols.append(pt_un)             # +2: undistorted (geometry)
+    if has_stereo:
+        cols.append(depth[:, None])    # +1: stereo depth (-1 = none)
+        cols.append(ur[:, None])       # +1: right-image u (-1 = none)
+    packed = jnp.concatenate(cols, axis=1)  # (N, packed_cols(...))
 
     next_id_f = jax.lax.bitcast_convert_type(state.next_id, jnp.float32)
     scalars = jnp.concatenate(
@@ -336,15 +346,34 @@ def tracked_frame_step(
     )
 
     # ONE pull: everything the host needs in a single flat buffer
-    # (device_get is one RPC per pytree leaf on remote TPUs).
+    # (device_get is one RPC per pytree leaf on remote TPUs; visibility is
+    # bit-packed — D2H bandwidth is the scarce resource).
     wire = jnp.concatenate(
-        [packed.reshape(-1), scalars, snap_visible.astype(jnp.float32)]
+        [packed.reshape(-1), scalars, pack_bits_f32(snap_visible)]
     )
     return {
         "state": state,  # stays device-resident for the next frame
         "key": key_out,  # PRNG chain stays device-resident too
-        "wire": wire,    # host splits: N*14 packed | 16 scalars | P visible
+        "wire": wire,    # host: N*packed_cols | 16 scalars | P/32 vis bits
         "packed": packed,
         "scalars": scalars,
         "snap_visible": snap_visible,
     }
+
+
+def pack_bits_f32(b):
+    """(P,) bool -> (P/32,) f32 carrying the u32 bitmask (P % 32 == 0)."""
+    P = b.shape[0]
+    w = b.reshape(P // 32, 32).astype(jnp.uint32) << jnp.arange(
+        32, dtype=jnp.uint32
+    )[None, :]
+    return jax.lax.bitcast_convert_type(jnp.sum(w, axis=1, dtype=jnp.uint32), jnp.float32)
+
+
+def unpack_bits_np(f32_words, n):
+    """Host inverse of pack_bits_f32: (P/32,) f32 -> (n,) bool."""
+    import numpy as np
+
+    u = np.ascontiguousarray(f32_words, np.float32).view(np.uint32)
+    bits = (u[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    return bits.reshape(-1)[:n].astype(bool)

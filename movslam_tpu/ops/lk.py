@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear_sample, build_pyramid, sample_patches, scharr_gradients
+from .image import build_pyramid, sample_patches
 
 WIN_HALF = 15  # 31x31 window, matching cv::Size(31, 31)
 LEVELS = 3
@@ -26,14 +26,62 @@ EPS = 0.01
 MIN_EIG = 1e-4
 
 
+LOCAL = 64  # per-point local window side extracted once per level
+
+
+def _sample_local(patches, local_xy, half):
+    """Bilinear (K, K) sub-patches from per-point LOCAL windows.
+
+    patches: (N, L, L); local_xy: (N, 2) centers in local coords. Small
+    batched weight matmuls (N, K, L) x (N, L, L) — the per-iteration cost of
+    LK after the one-time local extraction."""
+    N, L, _ = patches.shape
+    K = 2 * half + 1
+    d = jnp.arange(K, dtype=jnp.float32) - half
+    li = jnp.arange(L, dtype=jnp.float32)
+    yi = jnp.clip(local_xy[:, 1, None] + d[None, :], 0.0, L - 1.000001)
+    xi = jnp.clip(local_xy[:, 0, None] + d[None, :], 0.0, L - 1.000001)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(li[None, None, :] - yi[:, :, None]))
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(li[None, None, :] - xi[:, :, None]))
+    rows = jnp.einsum("nkl,nlm->nkm", Wy, patches, preferred_element_type=jnp.float32)
+    return jnp.einsum("nkm,njm->nkj", rows, Wx, preferred_element_type=jnp.float32)
+
+
 def _lk_level(prev_img, cur_img, pts_prev, guess, valid, half, iters):
     """One pyramid level. pts_prev: template centers in prev_img coords.
-    guess: current flow estimate (N, 2). Returns (flow, min_eig)."""
-    gx_img, gy_img = scharr_gradients(prev_img)
-    # Template patch + gradients are fixed per level (computed once).
-    T = sample_patches(prev_img, pts_prev, half)  # (N, K, K)
-    Gx = sample_patches(gx_img, pts_prev, half)
-    Gy = sample_patches(gy_img, pts_prev, half)
+    guess: current flow estimate (N, 2). Returns (flow, min_eig).
+
+    TPU-first structure: ONE local (LOCAL x LOCAL) window per point is
+    extracted from each image via the dense-weight matmul (ops/image), and
+    every LK iteration then samples inside the local windows with small
+    batched matmuls — the full-image matmul cost is paid once per level
+    instead of once per iteration. Flow beyond the local slack
+    ((LOCAL - K)/2 - 1 px per level) clamps, which the pyramid absorbs for
+    codec-scale motion (merange=64 at full res)."""
+    # Template patch + gradients from ONE local window of prev_img: the
+    # central K x K slice of the bilinearly-extracted window equals the
+    # direct bilinear sample, and central differences inside the window
+    # approximate the sampled gradient images (two full-image extractions
+    # per level instead of four).
+    Lh = LOCAL // 2
+    Pwin = sample_patches(prev_img, pts_prev, Lh - 1)  # (N, L, L)
+    L = Pwin.shape[1]
+    c0 = (L - 1) // 2 - half
+    T = Pwin[:, c0 : c0 + 2 * half + 1, c0 : c0 + 2 * half + 1]
+    Gx_full = 0.5 * (
+        jnp.pad(Pwin, ((0, 0), (0, 0), (0, 1)), mode="edge")[:, :, 1:]
+        - jnp.pad(Pwin, ((0, 0), (0, 0), (1, 0)), mode="edge")[:, :, :-1]
+    )
+    Gy_full = 0.5 * (
+        jnp.pad(Pwin, ((0, 0), (0, 1), (0, 0)), mode="edge")[:, 1:, :]
+        - jnp.pad(Pwin, ((0, 0), (1, 0), (0, 0)), mode="edge")[:, :-1, :]
+    )
+    Gx = Gx_full[:, c0 : c0 + 2 * half + 1, c0 : c0 + 2 * half + 1]
+    Gy = Gy_full[:, c0 : c0 + 2 * half + 1, c0 : c0 + 2 * half + 1]
+    # Local search windows in cur_img, centered at pts_prev + guess.
+    centers = pts_prev + guess
+    Jwin = sample_patches(cur_img, centers, Lh - 1)  # (N, L, L)
+    slack = (L - (2 * half + 1)) // 2 - 1
 
     gxx = jnp.sum(Gx * Gx, axis=(1, 2))
     gxy = jnp.sum(Gx * Gy, axis=(1, 2))
@@ -49,7 +97,10 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, valid, half, iters):
 
     def body(i, state):
         flow, active = state
-        J = sample_patches(cur_img, pts_prev + flow, half)
+        # Local coords of the tracked center inside Jwin.
+        local = flow - guess + (L - 1) / 2.0
+        local = jnp.clip(local, half, L - 1 - half)
+        J = _sample_local(Jwin, local, half)
         diff = T - J
         bx = jnp.sum(diff * Gx, axis=(1, 2))
         by = jnp.sum(diff * Gy, axis=(1, 2))
@@ -59,6 +110,8 @@ def _lk_level(prev_img, cur_img, pts_prev, guess, valid, half, iters):
         step = jnp.stack([dx, dy], axis=-1)
         step = jnp.where(active[:, None], step, 0.0)
         new_flow = flow + step
+        # Clamp to the local window's slack around the initial guess.
+        new_flow = jnp.clip(new_flow, guess - slack, guess + slack)
         still = active & (jnp.sum(step * step, axis=-1) >= EPS * EPS)
         return new_flow, still
 

@@ -29,7 +29,17 @@ def _dlt_pose(pw, rays):
     Returns (R (3,3), t (3,)). Solution is projected to SO(3) with
     cheirality-consistent sign."""
     S = pw.shape[0]
-    X = jnp.concatenate([pw, jnp.ones((S, 1))], axis=1)  # (S, 4)
+    # Hartley normalization: center + isotropically scale the world points.
+    # Without it the unnormalized AtA is so ill-conditioned in f32 that
+    # inverse iteration intermittently misconverges (measured 1% of draws —
+    # enough to destabilize whole tracking runs); normalized, it is exact
+    # (0/500 failures vs float64 eigh).
+    c = jnp.mean(pw, axis=0)
+    sc = jnp.maximum(
+        jnp.mean(jnp.linalg.norm(pw - c, axis=1)) / jnp.sqrt(3.0), 1e-6
+    )
+    pwn = (pw - c) / sc
+    X = jnp.concatenate([pwn, jnp.ones((S, 1))], axis=1)  # (S, 4)
     zero = jnp.zeros((S, 4))
     u = rays[:, 0:1]
     v = rays[:, 1:2]
@@ -38,9 +48,25 @@ def _dlt_pose(pw, rays):
     r2 = jnp.concatenate([zero, X, -v * X], axis=1)
     A = jnp.concatenate([r1, r2], axis=0)  # (2S, 12)
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0]
-    P = p.reshape(3, 4)
+    # Smallest eigenvector via shifted inverse iteration: batched eigh of
+    # 12x12 blocks is a slow QR-iteration custom call on TPU (~3 ms/frame
+    # per PnP in the production scan); on the NORMALIZED system 6 LU-solve
+    # iterations converge to the null direction at a fraction of the cost.
+    tscale = jnp.trace(AtA) / 12.0
+    Ash = AtA + (1e-7 * tscale + 1e-12) * jnp.eye(12)
+    p = jnp.ones((12,))
+    for _ in range(6):
+        p = jnp.linalg.solve(Ash, p)
+        p = p / jnp.maximum(jnp.linalg.norm(p), 1e-20)
+        # Degenerate samples (duplicate/collinear draws) give singular
+        # systems whose solve returns non-finite values; reset those lanes
+        # to a harmless direction (their hypothesis loses the vote anyway).
+        p = jnp.where(jnp.isfinite(p), p, 1.0)
+    Pn_ = p.reshape(3, 4)
+    # Denormalize: X_cam = P' [(pw - c)/sc; 1] => P = [M'/sc | t' - M' c/sc].
+    P = jnp.concatenate(
+        [Pn_[:, :3] / sc, (Pn_[:, 3] - Pn_[:, :3] @ c / sc)[:, None]], axis=1
+    )
     M = P[:, :3]
     # Fix scale and sign so that depths are mostly positive.
     scale = jnp.cbrt(jnp.abs(jnp.linalg.det(M)) + 1e-12)
@@ -70,6 +96,10 @@ def _reproj_err2(R, t, pw, uv, fx, fy, cx, cy, ur=None, bf=0.0):
         dr = (u - bf / z - ur) * stereo
         err2 = err2 + dr * dr
     behind = pc[..., 2] <= 0
+    # Non-finite errors (NaN poses from degenerate RANSAC samples) must
+    # never win the MSAC argmin: NaN propagates through jnp.minimum and
+    # argmin PICKS NaN entries — one degenerate lane would hijack the vote.
+    err2 = jnp.where(jnp.isfinite(err2), err2, 1e12)
     return jnp.where(behind, 1e12, err2)
 
 
@@ -163,10 +193,18 @@ def pnp_ransac(
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
     # --- hypothesis generation ------------------------------------------
-    # Sample indices proportional to validity via Gumbel top-k per lane.
-    g = jax.random.gumbel(key, (n_hyp, N))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, samp_idx = jax.lax.top_k(g, SAMPLE)  # (n_hyp, SAMPLE)
+    # Sample per-lane minimal sets from the valid entries: ONE argsort packs
+    # valid indices to the front, then lanes draw uniform random positions
+    # below n_valid. (The previous per-lane Gumbel top-k sorted an
+    # (n_hyp, N) matrix — two of those sorts cost ~8 ms/frame on v5e.)
+    # Within-lane duplicate draws yield rank-deficient DLTs whose hypotheses
+    # simply lose the MSAC vote — harmless at 256 lanes.
+    k_samp, _ = jax.random.split(key)
+    order = jnp.argsort(~valid)  # valid indices first, stable
+    u = jax.random.randint(
+        k_samp, (n_hyp, SAMPLE), 0, jnp.maximum(n_valid, 1)
+    )
+    samp_idx = order[u]  # (n_hyp, SAMPLE)
 
     rays = jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], axis=-1)
     pw_s = pw[samp_idx]  # (n_hyp, S, 3)

@@ -42,13 +42,16 @@ import os
 
 
 def _use_pallas_score():
-    """Pallas candidate scoring: on for TPU backends (bit-exact, faster),
-    off elsewhere (the CPU interpreter is slow). Override with
-    MOVSLAM_PALLAS=0/1."""
+    """Pallas candidate scoring (ops/pallas_kernels.py): bit-exact with the
+    XLA path, kept for reference/experimentation but OFF by default — a
+    round-2 profiler trace showed the XLA gather+matmul path at ~2 ms/frame
+    vs ~8 ms/frame for the hand-rolled kernel on v5e (XLA's native lowering
+    of block gathers beats the double-buffered band DMA here). Override with
+    MOVSLAM_PALLAS=1."""
     env = os.environ.get("MOVSLAM_PALLAS")
     if env is not None:
         return env != "0"
-    return jax.default_backend() == "tpu"
+    return False
 
 
 def priority_rank(valid, age, desc):

@@ -128,19 +128,32 @@ def tracked_window_step(
             new_state, img, k, R_cur, t_cur, v_R_new, v_t_new,
             jnp.asarray(True),
         )
-        ys = (packed, scalars, snap_visible)
+        from .frame_step import pack_bits_f32
+
+        ys = (packed, scalars, pack_bits_f32(snap_visible), new_state.desc)
         return carry_out, ys
 
     carry0 = (prev_state, prev_img, key, last_R, last_t, vel_R, vel_t, has_vel)
     xs = (imgs, mvk_packs, imgs_right) if has_stereo else (imgs, mvk_packs)
-    carry, (packed_w, scalars_w, vis_w) = jax.lax.scan(body, carry0, xs)
+    carry, (packed_w, scalars_w, visbits_w, desc_w) = jax.lax.scan(
+        body, carry0, xs
+    )
     state_out, _, key_out = carry[0], carry[1], carry[2]
 
     wire = jnp.concatenate(
         [
-            packed_w.reshape(-1),                       # W*N*14
+            packed_w.reshape(-1),                       # W*N*packed_cols
             scalars_w.reshape(-1),                      # W*16
-            vis_w.astype(jnp.float32).reshape(-1),      # W*P
+            visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
         ]
     )
-    return {"state": state_out, "key": key_out, "wire": wire}
+    return {
+        "state": state_out,
+        "key": key_out,
+        "wire": wire,
+        # Device-resident side channels: per-frame descriptors (pulled only
+        # when a keyframe forms) and the packed stack (mid-window rewinds
+        # rebuild the TrackState on device).
+        "desc_w": desc_w,
+        "packed_w": packed_w,
+    }

@@ -29,7 +29,7 @@ class Viewer:
         # Track-history polylines (FrameDrawer's green VideoFeature trails,
         # FrameDrawer.cc:129-190).
         seen = set()
-        for tid, pt in zip(frame.track_ids, frame.pts_raw):
+        for tid, pt in zip(frame.track_ids, getattr(frame, 'pts_raw', frame.pts)):
             tid = int(tid)
             seen.add(tid)
             self._tracks.setdefault(tid, []).append(tuple(pt))
@@ -61,7 +61,8 @@ class Viewer:
         except ImportError:
             return out
         for i in range(frame.n):
-            x, y = int(frame.pts_raw[i, 0]), int(frame.pts_raw[i, 1])
+            pr = getattr(frame, 'pts_raw', frame.pts)
+            x, y = int(pr[i, 0]), int(pr[i, 1])
             trail = self._tracks.get(int(frame.track_ids[i]), [])
             if len(trail) > 1:
                 pts = np.asarray(trail, np.int32).reshape(-1, 1, 2)

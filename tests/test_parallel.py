@@ -16,9 +16,9 @@ def test_graft_entry_single_chip():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out["packed"])
     assert out["packed"].shape[0] == args[2].capacity
-    from movslam_tpu.ops.frame_step import N_SCALARS, PACKED_COLS
+    from movslam_tpu.ops.frame_step import N_SCALARS, packed_cols
 
-    assert out["packed"].shape[1] == PACKED_COLS
+    assert out["packed"].shape[1] == packed_cols(False, False)
     assert out["scalars"].shape == (N_SCALARS,)
 
 
