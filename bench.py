@@ -37,26 +37,30 @@ def main():
     s.sensor = MONOCULAR
 
     stream = SyntheticStream(n_points=400, seed=42)
-    n_warm, n_timed = 15, 45
+    n_warm, n_timed = 40, 64
     frames = [stream.frame(k) for k in range(n_warm + n_timed)]
 
-    # Threaded mapper (the reference topology): keyframe cadence adapts to
-    # real mapper latency instead of spawning one per frame. The drive feeds
-    # W-frame batches (the decoder's lookahead queue always holds a window,
-    # VideoDecoder.cc:163-368) so OK-state runs take the windowed
-    # W-frames-per-dispatch program (ops/window_step).
-    system = System(s, MONOCULAR, async_mapping=True)
+    # Pipelined windowed drive: W-frame batches (the decoder's lookahead
+    # queue always holds a window, VideoDecoder.cc:163-368) through the
+    # W-frames-per-dispatch program (ops/window_step), with flush=False so
+    # window k+1 executes on device while window k replays on the host and
+    # the deferred mapper (fused triangulation+BA, ops/mapper_step) overlaps
+    # the frames in between. Warmup runs the map past maturity (~10 KFs) so
+    # the timed region measures the steady state.
+    system = System(s, MONOCULAR)
     W = system.window
     items = [(f.timestamp, f) for f in frames]
     k = 0
     while k < n_warm:
-        system.track_monocular_batch(items[k : k + W])
+        system.track_monocular_batch(items[k : k + W], flush=False)
         k += W
+    system.track_monocular_batch([], flush=True)
 
     t0 = time.perf_counter()
     while k < n_warm + n_timed:
-        system.track_monocular_batch(items[k : k + W])
+        system.track_monocular_batch(items[k : k + W], flush=False)
         k += W
+    system.track_monocular_batch([], flush=True)
     dt = time.perf_counter() - t0
     n_timed = k - n_warm
     system.shutdown()

@@ -263,8 +263,9 @@ def global_bundle_adjustment(m, camera, bf=0.0, iters=20, map_lock=None):
         windows = [(kfs, 0)]  # (kf list, number of leading fixed anchors)
     else:
         # Overlapping windows: each subsequent window holds `overlap` already
-        # -optimized keyframes fixed as gauge anchors.
-        overlap = 64
+        # -optimized keyframes fixed as gauge anchors. Overlap is bounded to
+        # half the window so the step stays positive for small buckets.
+        overlap = min(64, max_kf // 2)
         step = max_kf - overlap
         windows = [(kfs[:max_kf], 0)]
         i = step
@@ -378,6 +379,15 @@ class LocalMapping:
         self.imu_buffer = None
         self.imu_noise = (1.7e-4, 2e-3)
         self.vi_min_kfs = 6
+        # Deferred two-phase mapping (the windowed drive's mapper mode):
+        # keyframe n's triangulation + local BA run as ONE fused device
+        # program (ops/mapper_step) dispatched at KF n and pulled/committed
+        # at KF n+1, so the solve overlaps the tracking of the frames in
+        # between and the pull costs only the RTT. Young maps (< defer_min_kfs
+        # keyframes) stay synchronous: they need fresh points immediately.
+        self.defer_mapping = False
+        self.defer_min_kfs = 8
+        self._deferred = None
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
@@ -452,11 +462,13 @@ class LocalMapping:
             self.process_one()
         if final:
             self._commit_pending_ba()
+            self._commit_deferred()
 
     def process_one(self):
-        # Commit the previous keyframe's bundle adjustment first: it was
-        # launched asynchronously and has been overlapping with tracking.
+        # Commit the previous keyframe's device work first: it was launched
+        # asynchronously and has been overlapping with tracking.
         self._commit_pending_ba()
+        self._commit_deferred()
         with self.map_lock:
             if not self.queue:
                 return
@@ -465,10 +477,29 @@ class LocalMapping:
             m = self.atlas.current
             self._process_new_keyframe(kf, m)
             self._map_point_culling(m)
-            self._create_new_map_points(m)
-            if not self.queue:
-                self._search_in_neighbors(m)
-        if not self.queue and m.n_keyframes() > 2:
+            deferred = self.defer_mapping and m.n_keyframes() >= self.defer_min_kfs
+            if deferred:
+                from ..ops.mapper_step import TRI_CAP
+
+                tri_job = self._prepare_triangulation(m, cap=TRI_CAP)
+                if not self.queue:
+                    self._search_in_neighbors(m)
+                ba_job = (
+                    self._prepare_local_ba(m)
+                    if not self.queue and m.n_keyframes() > 2
+                    else None
+                )
+            else:
+                self._create_new_map_points(m)
+                if not self.queue:
+                    self._search_in_neighbors(m)
+        if deferred:
+            if tri_job is not None or ba_job is not None:
+                t0 = _time.perf_counter()
+                self._dispatch_mapper_step(tri_job, ba_job, m)
+                self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
+                self.lba_count += 1
+        elif not self.queue and m.n_keyframes() > 2:
             t0 = _time.perf_counter()
             self._local_ba(m)  # async dispatch; writeback at next commit
             self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
@@ -487,6 +518,7 @@ class LocalMapping:
                 from .inertial import visual_inertial_init
 
                 self._commit_pending_ba()  # pre-scale BA must land first
+                self._commit_deferred()
                 with self.map_lock:
                     res = visual_inertial_init(
                         m, list(m.keyframes.values()), self.imu_buffer,
@@ -507,6 +539,7 @@ class LocalMapping:
         ):
             from .map_merge import try_merge
 
+            self._commit_deferred()
             with self.map_lock:
                 self._commit_pending_ba()
                 try_merge(self.atlas)
@@ -553,10 +586,22 @@ class LocalMapping:
     def _create_new_map_points(self, m):
         """LocalMapping::CreateNewMapPoints (LocalMapping.cc:220-501) with all
         candidate pairs of all neighbors triangulated in ONE device batch."""
+        job = self._prepare_triangulation(m)
+        if job is None:
+            return
+        X = triangulate_pairs_padded(
+            job["P1"], job["P2s"], job["uv1"], job["uv2"]
+        ).astype(np.float64)
+        return self._commit_triangulation(job, X, m)
+
+    def _prepare_triangulation(self, m, cap=None):
+        """Host half of CreateNewMapPoints: collect every candidate pair of
+        every eligible covisible neighbor plus all pose-dependent gate inputs.
+        Returns a job dict for _commit_triangulation (None when empty)."""
         kf1 = self.current_kf
         neighbors = kf1.best_covisible(m, 30)
         if not neighbors:
-            return
+            return None
         cam = self.camera
         R1, t1 = kf1.pose()
         Ow1 = kf1.center()
@@ -582,14 +627,15 @@ class LocalMapping:
                 cand.append((kf2, int(a), int(b)))
                 P2s.append(P2)
         if not cand:
-            return
+            return None
 
-        # triangulate_pairs_padded's largest bucket is 8192; truncate the
+        # The device batch is padded to a fixed capacity; truncate the
         # candidate list to the same cap HERE so the per-candidate masks
-        # below stay aligned with the device result (no silent caps: log).
-        from ..ops.triangulate import _PAIR_BUCKETS
+        # stay aligned with the device result (no silent caps: log).
+        if cap is None:
+            from ..ops.triangulate import _PAIR_BUCKETS
 
-        cap = _PAIR_BUCKETS[-1]
+            cap = _PAIR_BUCKETS[-1]
         if len(cand) > cap:
             from .verbose import Verbose
 
@@ -602,13 +648,27 @@ class LocalMapping:
 
         uv1 = np.stack([kf1.pts[a] for (_, a, _) in cand])
         uv2 = np.stack([kf2.pts[b] for (kf2, _, b) in cand])
-
-        # One padded device batch for every candidate pair of every neighbor
-        # (bucketed shapes: a handful of compiles total, not one per KF).
         P2s = np.stack(P2s)
-        X = triangulate_pairs_padded(P1, P2s, uv1, uv2).astype(np.float64)
+        return {
+            "kf1": kf1, "cand": cand, "P1": P1, "P2s": P2s,
+            "uv1": uv1, "uv2": uv2, "R1": R1, "t1": t1, "Ow1": Ow1,
+        }
+
+    def _commit_triangulation(self, job, X, m):
+        """Gate triangulated candidates and create the surviving MapPoints
+        (the back half of CreateNewMapPoints). X may come from the fused
+        deferred mapper program (pulled one keyframe later) — the per-slot
+        claim checks below re-validate against the current graph."""
+        kf1 = job["kf1"]
+        if kf1.bad:
+            return 0
+        cand = job["cand"]
+        uv1, uv2 = job["uv1"], job["uv2"]
+        R1, t1, Ow1 = job["R1"], job["t1"], job["Ow1"]
+        cam = self.camera
 
         C = len(cand)
+        X = np.asarray(X, np.float64)[:C]
         s1_arr = np.fromiter((a for (_, a, _) in cand), np.int64, C)
         s2_arr = np.fromiter((b for (_, _, b) in cand), np.int64, C)
         R2_arr = np.stack([kf2.R for (kf2, _, _) in cand])
@@ -828,6 +888,108 @@ class LocalMapping:
             "obs_meta": prob["obs_meta"], "kfs": kfs,
             "mps": prob["mps"], "kf_fixed": prob["kf_fixed"], "map": m,
         }
+
+    def _prepare_local_ba(self, m):
+        """Assemble the local-BA problem at the PINNED mapper shapes
+        (ops/mapper_step: one compiled variant — bucket churn previously cost
+        a re-trace + compile-cache load per new shape mid-run). Same problem
+        selection as _local_ba (Optimizer.cc:461-841)."""
+        from ..ops.mapper_step import BA_K, BA_MOPP, BA_O, BA_P
+
+        kf0 = self.current_kf
+        local = [kf0] + kf0.best_covisible(m, MAX_OPT_KF - 1)
+        local_ids = {kf.id for kf in local}
+
+        local_mps = {}
+        for kf in local:
+            for mid in kf.mp_ids:
+                if mid >= 0 and mid not in local_mps:
+                    mp = m.mappoints.get(int(mid))
+                    if mp is not None and not mp.bad:
+                        local_mps[int(mid)] = mp
+        if not local_mps:
+            return None
+        mps = list(local_mps.values())[:BA_P]
+
+        fixed = {}
+        for mp in mps:
+            for kf_id in mp.obs:
+                if kf_id not in local_ids and kf_id not in fixed:
+                    kf = m.keyframes.get(kf_id)
+                    if kf is not None and not kf.bad:
+                        fixed[kf_id] = kf
+        fixed = list(fixed.values())[:MAX_FIX_KF]
+        if len(fixed) == 0 and not any(kf.id == m.init_kf_id for kf in local):
+            return None  # gauge-free (Optimizer.cc:525-529)
+
+        kfs = local + fixed
+        prob = assemble_ba_problem(
+            kfs, len(local), mps, m.init_kf_id, BA_K,
+            mopp=BA_MOPP, p_lo=BA_P, p_hi=BA_P, o_lo=BA_O, o_hi=BA_O,
+        )
+        if prob is None:
+            return None
+        wire, shapes = problem_wire(prob)
+        return {
+            "wire": wire, "shapes": shapes, "obs_meta": prob["obs_meta"],
+            "kfs": kfs, "mps": prob["mps"], "kf_fixed": prob["kf_fixed"],
+        }
+
+    def _dispatch_mapper_step(self, tri_job, ba_job, m):
+        """Dispatch the fused triangulation+BA program (ops/mapper_step) for
+        this keyframe; the result is pulled and committed at the NEXT
+        keyframe (process_one -> _commit_deferred), fully overlapping the
+        tracking of the frames in between."""
+        from ..ops.mapper_step import (
+            BA_K, BA_MOPP, BA_O, BA_P, TRI_CAP, mapper_step_wire,
+        )
+
+        tri_wire = np.zeros((TRI_CAP + 1, 16), np.float32)
+        if tri_job is not None:
+            n = len(tri_job["cand"])
+            tri_wire[0, 0:12] = np.asarray(tri_job["P1"], np.float32).reshape(-1)
+            tri_wire[1 : n + 1, 0:12] = np.asarray(
+                tri_job["P2s"], np.float32
+            ).reshape(n, 12)
+            tri_wire[1 : n + 1, 12:14] = tri_job["uv1"]
+            tri_wire[1 : n + 1, 14:16] = tri_job["uv2"]
+        if ba_job is not None:
+            ba_wire = ba_job["wire"]
+        else:
+            ba_wire = np.zeros(
+                BA_K * 14 + BA_P * 4 + BA_O * 6 + BA_P * BA_MOPP, np.float32
+            )
+        cam = self.camera
+        out = mapper_step_wire(
+            jnp.asarray(tri_wire),
+            jnp.asarray(ba_wire),
+            jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
+            self.bf,
+        )
+        self._deferred = {"out": out, "tri": tri_job, "ba": ba_job, "map": m}
+
+    def _commit_deferred(self):
+        """Pull + commit the previous keyframe's fused mapper result: insert
+        the gated triangulations, then write back the BA solution."""
+        d = self._deferred
+        if d is None:
+            return
+        self._deferred = None
+        m = d["map"]
+        if m is not self.atlas.current:
+            return  # map was reset/switched since dispatch
+        from ..ops.mapper_step import split_mapper_wire
+
+        X, out_kf, out_mp, out_obs = split_mapper_wire(d["out"])  # ONE pull
+        with self.map_lock:
+            if d["tri"] is not None:
+                self._commit_triangulation(d["tri"], X.astype(np.float64), m)
+            if d["ba"] is not None:
+                ba = d["ba"]
+                commit_ba_result(
+                    (out_kf, out_mp, out_obs), ba["obs_meta"], ba["kfs"],
+                    ba["mps"], ba["kf_fixed"], m,
+                )
 
     def _commit_pending_ba(self):
         pending = getattr(self, "_pending_ba", None)

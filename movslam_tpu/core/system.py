@@ -64,6 +64,9 @@ class System:
         self._reset_requested = False
         self._snapshot = None
         self._snapshot_key = None
+        # In-flight window record of the pipelined batch drive (dispatched,
+        # not yet replayed). See track_monocular_batch / _batch_drive.
+        self._wf = None
         # Fused one-dispatch frame path (ops/frame_step); legacy per-stage
         # path remains for init/loss states and as a fallback.
         self.fused_frontend = True
@@ -262,44 +265,100 @@ class System:
             and smv.ft != FrameType.I_FRAME
         )
 
-    def track_monocular_batch(self, items):
-        """Track a batch of (timestamp, smv) pairs; returns one pose (R, t)
-        or None per frame. Eligible P-frame runs in the OK state go through
-        the windowed W-frames-per-dispatch program (ops/window_step); init,
-        loss recovery and I-frames fall back to the per-frame paths. This is
-        the high-throughput drive: the decoder's lookahead queue
-        (VideoDecoder.cc:163-368) always holds a window's worth of frames."""
-        from ..io.mvimage import FrameType
+    def track_monocular_batch(self, items, flush=True):
+        """Track a batch of (timestamp, smv) pairs; returns poses (R, t) or
+        None in stream order. Eligible P-frame runs in the OK state go
+        through the windowed W-frames-per-dispatch program (ops/window_step);
+        init, loss recovery and I-frames fall back to the per-frame paths.
+        This is the high-throughput drive: the decoder's lookahead queue
+        (VideoDecoder.cc:163-368) always holds a window's worth of frames.
 
-        results = []
+        The drive is PIPELINED: while window k's results are replayed through
+        the Tracking state machine on the host, window k+1 is already
+        executing on device, chained on k's device-resident carry (track
+        state, pose chain, PRNG). flush=False keeps the last window in
+        flight across calls (the returned pose list then lags the input by
+        up to one window; call once more with flush=True — or items=[] — to
+        drain). With the default flush=True every passed frame is resolved
+        before returning."""
         items = [it if len(it) == 2 else it[:2] for it in items] \
             if self.imu_buffer is None else self._absorb_imu(items)
-        i = 0
-        while i < len(items):
-            if self._window_eligible(items[i][1]):
-                run = []
-                j = i
-                while (
-                    j < len(items)
-                    and len(run) < self.window
-                    and items[j][1].ft != FrameType.I_FRAME
-                ):
-                    run.append(items[j])
-                    j += 1
-                # Bucket the window length to a power of two: every
-                # distinct W compiles its own XLA program, and keyframe
-                # rewinds would otherwise produce arbitrary leftover lengths
-                # (one slow compile each on a remote TPU).
-                L = 1 << (len(run).bit_length() - 1)
-                run = run[:L]
-                if len(run) >= 2:
-                    poses, consumed = self._track_window(run)
-                    results.extend(poses[:consumed])
-                    i += consumed
-                    continue
-            results.append(self.track_monocular(*items[i]))
-            i += 1
+        return self._batch_drive(items, flush, per_frame=self.track_monocular)
+
+    def _batch_drive(self, items, flush, per_frame):
+        results = []
+        todo = list(items)
+        while todo:
+            if self._wf is None:
+                run = self._collect_run(todo)
+                if run is not None:
+                    wf = self._dispatch_window(run)
+                    if wf is not None:
+                        self._wf = wf
+                        del todo[: len(run)]
+                        continue
+                results.append(per_frame(*todo.pop(0)))
+                continue
+            # A window is in flight: speculatively dispatch the next one on
+            # its device carry, then replay the in-flight window. The
+            # speculative window's compute overlaps this replay (and the
+            # mapper work it triggers) — one host<->device sync per window.
+            spec_run = self._collect_run(todo, speculative=True)
+            spec = (
+                self._dispatch_window(spec_run, carry=self._wf)
+                if spec_run is not None else None
+            )
+            poses, consumed, clean = self._replay_window(self._wf)
+            results.extend(poses)
+            unconsumed = self._wf["run"][consumed:]
+            self._wf = None
+            if unconsumed:
+                todo = list(unconsumed) + todo  # re-feed after rewind
+            if spec is not None and clean:
+                self._wf = spec
+                del todo[: len(spec_run)]
+            # not clean: the speculative window chained on a rewound carry —
+            # discard it; its frames are still at the head of todo.
+        if flush and self._wf is not None:
+            poses, consumed, _ = self._replay_window(self._wf)
+            results.extend(poses)
+            unconsumed = self._wf["run"][consumed:]
+            self._wf = None
+            for it in unconsumed:
+                results.append(per_frame(*it))
         return results
+
+    def _collect_run(self, todo, speculative=False):
+        """Collect a power-of-two-bucketed window run from the head of todo.
+        speculative=True skips the host tracking-state checks (the state is
+        not known yet — the previous window has not been replayed) and
+        requires a mature map, where mid-window rewinds are rare enough that
+        speculation pays."""
+        from ..io.mvimage import FrameType
+
+        if not todo:
+            return None
+        if speculative:
+            if not (self.fused_frontend and self.window >= 2):
+                return None
+            if self.atlas.current.n_keyframes() < 10:
+                return None
+            if todo[0][1].ft == FrameType.I_FRAME:
+                return None
+        elif not self._window_eligible(todo[0][1]):
+            return None
+        run = []
+        for it in todo:
+            if len(run) >= self.window or it[1].ft == FrameType.I_FRAME:
+                break
+            run.append(it)
+        # Bucket the window length to a power of two: every distinct W
+        # compiles its own XLA program, and keyframe rewinds would otherwise
+        # produce arbitrary leftover lengths (one slow compile each on a
+        # remote TPU).
+        L = 1 << (len(run).bit_length() - 1) if run else 0
+        run = run[:L]
+        return run if len(run) >= 2 else None
 
     def _absorb_imu(self, items):
         """Strip per-item IMU arrays from (ts, smv, imu) batch tuples into
@@ -311,27 +370,31 @@ class System:
             out.append((it[0], it[1]))
         return out
 
-    def _track_window(self, run):
-        """Dispatch one W-frame window; replay results through Tracking.
-        Returns (poses, consumed): consumed < len(run) when tracking left the
-        OK state mid-window — the device track state is rewound to the last
-        consumed frame and the caller re-feeds the rest per-frame.
+    def _dispatch_window(self, run, carry=None):
+        """Dispatch one W-frame window program (no blocking device wait).
+
+        carry=None chains on the host tracking state (pose chain, previous
+        image/state — the normal entry after per-frame tracking). carry=<an
+        in-flight window record> chains on that window's device-resident
+        outputs (state, pose_carry, PRNG) WITHOUT pulling them — the
+        pipelined drive. Returns the in-flight record, or None when no map
+        snapshot exists yet.
 
         run items: (ts, smv) for mono, (ts, smv, smv_right) for stereo — the
         stereo window adds the right-image stack and the on-device
         left->right LK depth (ops/frame_step stage 1c)."""
         import jax.numpy as jnp
         from ..ops.window_step import tracked_window_step
-        from .trackstate import TrackState
 
         stereo = len(run[0]) == 3
-        t0 = time.perf_counter()
         tr = self.tracking
         # Windowed drive: deterministic frame-count mapper throttle (the
         # wall-clock is_ready poll starves KFs when W frames replay in
         # microseconds; the reference mapper is busy ~1-3 frame times per KF,
-        # LocalMapping.cc:57,106).
+        # LocalMapping.cc:57,106) + deferred fused mapper (keyframe
+        # triangulation/BA overlap the next window's tracking).
         self.mapper.throttle_mode = "frames"
+        self.mapper.defer_mapping = True
         # Adaptive cadence: a young map needs dense keyframes (losses at
         # sparse cadence happen in the first seconds); a mature one tracks
         # comfortably at ~1 KF per window.
@@ -341,9 +404,8 @@ class System:
         self._refresh_snapshot()
         snap = self._snapshot
         if snap is None:
-            return [self.track_monocular(*run[0])], 1
+            return None
 
-        W = len(run)
         mvks = []
         n_mvs = None
         for it in run:
@@ -361,23 +423,29 @@ class System:
             if stereo else None
         )
 
-        pose_pack = np.zeros(25, np.float32)
-        pose_pack[0:9] = np.asarray(tr.last_frame.R, np.float32).reshape(-1)
-        pose_pack[9:12] = tr.last_frame.t
-        if tr.velocity is not None:
-            Rv, tv = tr.velocity
-            pose_pack[12:21] = np.asarray(Rv, np.float32).reshape(-1)
-            pose_pack[21:24] = tv
-            pose_pack[24] = 1.0
-
-        from ..ops.frame_step import N_SCALARS, packed_cols, unpack_bits_np
+        if carry is None:
+            prev_state = self._prev_state
+            prev_img = self._prev_img
+            pose_pack = np.zeros(25, np.float32)
+            pose_pack[0:9] = np.asarray(tr.last_frame.R, np.float32).reshape(-1)
+            pose_pack[9:12] = tr.last_frame.t
+            if tr.velocity is not None:
+                Rv, tv = tr.velocity
+                pose_pack[12:21] = np.asarray(Rv, np.float32).reshape(-1)
+                pose_pack[21:24] = tv
+                pose_pack[24] = 1.0
+            pose_pack = jnp.asarray(pose_pack)
+        else:
+            prev_state = carry["out"]["state"]
+            prev_img = carry["imgs_dev"][-1]
+            pose_pack = carry["out"]["pose_carry"]
 
         out = tracked_window_step(
             imgs_dev,
-            self._prev_img,
-            self._prev_state,
+            prev_img,
+            prev_state,
             mvk_stack,
-            jnp.asarray(pose_pack),
+            pose_pack,
             snap.fused,
             tr._intr,
             tr._pnp_key,
@@ -393,21 +461,49 @@ class System:
             has_stereo=stereo,
         )
         tr._pnp_key = out["key"]
+        # The carry for any subsequent dispatch is this window's device
+        # output — whether that dispatch is speculative (pipelined) or the
+        # per-frame path after a clean replay.
+        self._prev_state = out["state"]
+        self._prev_img = imgs_dev[-1]
+        self.extractor._next_id_dev = out["state"].next_id
+        return {
+            "out": out, "run": run, "snap": snap, "imgs_dev": imgs_dev,
+            "stereo": stereo, "n_mvs": n_mvs,
+        }
 
-        # ONE pull for the whole window (visibility bit-packed, descriptors
-        # device-side — D2H bandwidth is the scarce resource).
+    def _replay_window(self, wf):
+        """Pull one in-flight window's result wire (the single host<->device
+        sync point) and replay it through the Tracking state machine.
+        Returns (poses, consumed, clean): clean=True iff every frame was
+        consumed with tracking still OK — i.e. a window speculatively
+        chained on this one's device carry is valid."""
+        from ..ops.frame_step import N_SCALARS, packed_cols, unpack_bits_np
+        from .trackstate import TrackState
+
+        t0 = time.perf_counter()
+        out, run, snap, stereo = wf["out"], wf["run"], wf["snap"], wf["stereo"]
+        imgs_dev = wf["imgs_dev"]
+        W = len(run)
+        tr = self.tracking
+
         C = packed_cols(self._has_dist, stereo)
         wire = np.asarray(out["wire"])
         N = self.extractor.capacity
         P = snap.fused.shape[0]
         o1 = W * N * C
         o2 = o1 + W * N_SCALARS
+        o3 = o2 + W * (P // 32)
         packed_w = wire[:o1].reshape(W, N, C)
         scal_w = wire[o1:o2].reshape(W, N_SCALARS)
-        visbits_w = wire[o2:].reshape(W, P // 32)
+        visbits_w = wire[o2:o3].reshape(W, P // 32)
+        desc_w = np.ascontiguousarray(
+            wire[o3:], np.float32
+        ).view(np.uint32).reshape(W, N, 8)
 
         poses = []
         consumed = 0
+        rewound = False
         for k in range(W):
             ts, smv = run[k][0], run[k][1]
             scal = scal_w[k]
@@ -444,11 +540,11 @@ class System:
             # new points similarly. Only rewind (re-dispatch the remainder
             # against a fresh snapshot) when the margin is thin.
             if tr.last_kf_frame_id == frame.id:
-                # Descriptors live device-side; archive them on the new
-                # keyframe (checkpoint parity) with one small pull.
+                # Descriptors ride the result wire; archive them on the new
+                # keyframe (checkpoint parity) — no extra pull.
                 kf = tr.last_kf
                 if kf is not None and len(frame.cap_rows):
-                    kf.desc = np.asarray(out["desc_w"][k])[frame.cap_rows]
+                    kf.desc = desc_w[k][frame.cap_rows]
                 # Stereo and young maps always rewind (stale-snapshot frames
                 # measurably degrade the gauge while it is still forming);
                 # mature mono continues unless the health margin is thin.
@@ -457,12 +553,11 @@ class System:
                     or self.atlas.current.n_keyframes() < 10
                     or int(scal_w[k + 1, 13]) < 45
                 ):
+                    rewound = True
                     break
 
-        if consumed == W and tr.state == State.OK:
-            self._prev_state = out["state"]
-            self._prev_img = imgs_dev[-1]
-        else:
+        clean = consumed == W and tr.state == State.OK and not rewound
+        if not clean:
             # Rewind the device track state to the last consumed frame —
             # rebuilt ON DEVICE from the packed/desc side channels.
             k = consumed - 1
@@ -473,11 +568,11 @@ class System:
                 out["packed_w"][k], out["desc_w"][k], next_id
             )
             self._prev_img = imgs_dev[k]
-        self.extractor._next_id_dev = self._prev_state.next_id
+            self.extractor._next_id_dev = self._prev_state.next_id
 
         dt = time.perf_counter() - t0
-        self.track_ms.extend([1e3 * dt / consumed] * consumed)
-        return poses, consumed
+        self.track_ms.extend([1e3 * dt / max(consumed, 1)] * consumed)
+        return poses, consumed, clean
 
     def track_monocular(self, timestamp, smv: MotionVectorImage, imu=None):
         """System::TrackMonocular (System.cc:171-234). Returns (R, t) of the
@@ -487,6 +582,7 @@ class System:
         covering the interval since the previous frame (IMU_MONOCULAR
         sensor)."""
         assert self.sensor in (MONOCULAR, IMU_MONOCULAR), "sensor not Monocular"
+        self._flush_windows()
         if self.imu_buffer is not None and imu is not None:
             self.imu_buffer.add(self.image_count, imu)
         t0 = time.perf_counter()
@@ -544,40 +640,17 @@ class System:
             return tr.current.R, tr.current.t
         return None
 
-    def track_stereo_batch(self, items):
+    def track_stereo_batch(self, items, flush=True):
         """Track a batch of (timestamp, smv_left, smv_right) triples through
         the windowed stereo program when eligible (mirrors
-        track_monocular_batch; stereo depth is computed on device inside the
-        same dispatch, ops/frame_step stage 1c)."""
-        from ..io.mvimage import FrameType
-
-        results = []
-        i = 0
-        while i < len(items):
-            if self._window_eligible(items[i][1]):
-                run = []
-                j = i
-                while (
-                    j < len(items)
-                    and len(run) < self.window
-                    and items[j][1].ft != FrameType.I_FRAME
-                ):
-                    run.append(items[j])
-                    j += 1
-                L = 1 << (len(run).bit_length() - 1)  # pow2 buckets (see mono)
-                run = run[:L]
-                if len(run) >= 2:
-                    poses, consumed = self._track_window(run)
-                    results.extend(poses[:consumed])
-                    i += consumed
-                    continue
-            results.append(self.track_stereo(*items[i]))
-            i += 1
-        return results
+        track_monocular_batch, including the pipelined drive; stereo depth is
+        computed on device inside the same dispatch, ops/frame_step 1c)."""
+        return self._batch_drive(items, flush, per_frame=self.track_stereo)
 
     def track_stereo(self, timestamp, smv, smv_right):
         """System::TrackStereo (System.cc:236-300)."""
         assert self.sensor == STEREO, "sensor not set to Stereo"
+        self._flush_windows()
         from .stereo import compute_stereo_depth
 
         t0 = time.perf_counter()
@@ -629,7 +702,23 @@ class System:
             iters=iters, map_lock=self.mapper.map_lock,
         )
 
+    def _flush_windows(self):
+        """Drain the pipelined drive's in-flight window (if any): replay it
+        and push any rewound remainder through the per-frame paths. Called
+        defensively at every per-frame entry point and at shutdown so mixed
+        batch/per-frame usage and flush=False streams stay consistent."""
+        if self._wf is None:
+            return
+        wf, self._wf = self._wf, None
+        _, consumed, _ = self._replay_window(wf)
+        for it in wf["run"][consumed:]:
+            if len(it) == 3:
+                self.track_stereo(*it)
+            else:
+                self.track_monocular(*it)
+
     def shutdown(self):
+        self._flush_windows()
         if self.async_mapping:
             self.mapper.stop_thread()
         self.mapper.spin(final=True)

@@ -68,6 +68,12 @@ class MotionVectorImage:
 
     coverage_area: float = 0.0
 
+    # B-frame forward-prediction records (the reference's bmap,
+    # VideoDecoder.cc:255-286 — collected there, consumed nowhere).
+    bmv_delta: np.ndarray | None = None  # (n_bmvs, 2) f32
+    bmv_rect: np.ndarray | None = None  # (n_bmvs, 4) f32
+    n_bmvs: int = 0
+
     @staticmethod
     def empty(width, height, max_mvs=MAX_MVS, max_kps=MAX_KPS):
         smv = MotionVectorImage(width=width, height=height)

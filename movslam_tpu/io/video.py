@@ -37,6 +37,10 @@ class _MvFrameView(ctypes.Structure):
         ("kps_rect", ctypes.POINTER(ctypes.c_float)),
         ("mv_dropped", ctypes.c_int32),
         ("kp_dropped", ctypes.c_int32),
+        ("rgb", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_bmvs", ctypes.c_int32),
+        ("bmv_delta", ctypes.POINTER(ctypes.c_float)),
+        ("bmv_rect", ctypes.POINTER(ctypes.c_float)),
     ]
 
 
@@ -63,26 +67,28 @@ def _load_lib(auto_build=True):
     lib.mvdec_fps.restype = ctypes.c_double
     lib.mvdec_fps.argtypes = [ctypes.c_void_p]
     lib.mvdec_close.argtypes = [ctypes.c_void_p]
+    lib.mvdec_set_rgb.argtypes = [ctypes.c_void_p, ctypes.c_int]
     return lib
 
 
-def encode_gray(path, frames, fps=30.0, keyint=1000, refs=2):
+def encode_gray(path, frames, fps=30.0, keyint=1000, refs=2, bframes=0):
     """Encode a (N, H, W) uint8 stack with libx264 at the reference operating
     point (README.md:47-69: preset fast, tune film, p8x8/p4x4 partitions,
     me=umh, merange=64, subme=6, bframes=0) — test/utility entry point (the
-    reference encodes on a separate host with the ffmpeg CLI)."""
+    reference encodes on a separate host with the ffmpeg CLI). bframes > 0
+    exercises the decoder's B-frame branch."""
     lib = _load_lib()
     lib.mvenc_encode_gray.restype = ctypes.c_int
     lib.mvenc_encode_gray.argtypes = [
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.uint8), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
     ]
     frames = np.ascontiguousarray(frames, np.uint8)
     n, h, w = frames.shape
     rc = lib.mvenc_encode_gray(
         str(path).encode(), frames.reshape(-1), w, h, n, float(fps),
-        int(keyint), int(refs),
+        int(keyint), int(refs), int(bframes),
     )
     if rc != 0:
         raise RuntimeError(f"mvenc_encode_gray failed rc={rc}")
@@ -93,9 +99,12 @@ class VideoDecoder:
     frame; `mv=False` skips MV conversion cost on the Python side (used for
     the right frames of frame-packed stereo)."""
 
-    def __init__(self, url, qlen=12, max_mvs=8192, max_kps=4096):
+    def __init__(self, url, qlen=12, max_mvs=8192, max_kps=4096, rgb=False):
         self.url = url
         self.qlen = qlen
+        # RGB surface (VideoBase::avframeToCvmatRGB, VideoBase.h:60-68):
+        # decoded alongside gray when enabled; the viewer overlays on it.
+        self.rgb = rgb
         # Python-side array capacities (static device shapes). The native
         # decoder caps at 16384/8192 and counts its own drops; both layers
         # log truncation instead of dropping silently.
@@ -117,6 +126,8 @@ class VideoDecoder:
         self.width = self._lib.mvdec_width(self._h)
         self.height = self._lib.mvdec_height(self._h)
         self.fps = self._lib.mvdec_fps(self._h)
+        if self.rgb:
+            self._lib.mvdec_set_rgb(self._h, 1)
         return True
 
     def next_image(self, mv=True):
@@ -127,10 +138,14 @@ class VideoDecoder:
         smv = MotionVectorImage.empty(v.width, v.height, self.max_mvs, self.max_kps)
         smv.frame_no = v.frame_no
         smv.timestamp = v.timestamp
-        smv.ft = FrameType.I_FRAME if v.ft == 0 else FrameType.P_FRAME
+        smv.ft = FrameType(v.ft)
         smv.im_gray = np.ctypeslib.as_array(
             v.gray, shape=(v.height, v.width)
         ).copy()
+        if v.rgb:
+            smv.im_rgb = np.ctypeslib.as_array(
+                v.rgb, shape=(v.height, v.width, 3)
+            ).copy()
         if mv:
             n_mvs = min(v.n_mvs, self.max_mvs)
             n_kps = min(v.n_kps, self.max_kps)
@@ -162,6 +177,14 @@ class VideoDecoder:
                 )[:n_kps]
                 smv.n_kps = n_kps
             smv.coverage_area = float(v.coverage)
+            if v.n_bmvs:
+                smv.n_bmvs = v.n_bmvs
+                smv.bmv_delta = np.ctypeslib.as_array(
+                    v.bmv_delta, shape=(v.n_bmvs, 2)
+                ).copy()
+                smv.bmv_rect = np.ctypeslib.as_array(
+                    v.bmv_rect, shape=(v.n_bmvs, 4)
+                ).copy()
         return smv
 
     def __iter__(self):

@@ -25,10 +25,13 @@
 // either way through the mvdec_test_decompose test ABI below.
 //
 // B-frames (mv.source > 0): the reference collects forward-prediction
-// records into `bmap` (VideoDecoder.cc:255-286) but bmap is write-only —
-// nothing ever reads it (grep: single reference at VideoDecoder.cc:284) —
-// so skipping forward refs is behaviorally identical; the published encoder
-// settings use bframes=0 (/root/reference/README.md:47).
+// records into `bmap` (VideoDecoder.cc:255-286). bmap is write-only there
+// (nothing ever reads it; grep: single reference at VideoDecoder.cc:284) and
+// the published encoder settings use bframes=0 (/root/reference/README.md:47)
+// — but the branch exists, so this decoder keeps structural parity: forward
+// -prediction records are collected per frame into `bmv_*` arrays and
+// exposed through the view (consumers may ignore them, exactly as the
+// reference does), and B pictures are classified ft=2.
 //
 // Build: see build.sh (g++ -shared, links libavformat/avcodec/avutil/swscale).
 
@@ -67,6 +70,10 @@ struct QueuedFrame {
   std::vector<float> mv_rect;    // n_mvs * 4 (x0, y0, x1, y1 inclusive)
   std::vector<int32_t> mv_dindx; // n_mvs
   std::vector<float> kps_rect;   // n_kps * 4 (x, y, w, h)
+  std::vector<uint8_t> rgb;      // optional H*W*3 surface (VideoBase.h:60-68)
+  std::vector<float> bmv_delta;  // n_bmvs * 2 — B-frame forward records
+  std::vector<float> bmv_rect;   // n_bmvs * 4   (the reference's bmap,
+  int32_t n_bmvs = 0;            //  VideoDecoder.cc:255-286)
   int32_t n_mvs = 0;
   int32_t n_kps = 0;
   int32_t mv_dropped = 0;
@@ -110,8 +117,26 @@ struct MvIn {
 // coverage (0 when the MV was dropped or is a forward/B ref).
 float decompose_mv(const MvIn& mv, std::deque<std::unique_ptr<QueuedFrame>>& queue,
                    QueuedFrame* cur, float W, float H) {
-  if (mv.source > 0) return 0.f;  // B-frame forward refs: bmap is write-only
-                                  // in the reference (see file header)
+  if (mv.source > 0) {
+    // B-frame forward prediction (VideoDecoder.cc:255-286): record the
+    // destination block + forward delta into the frame's bmap-equivalent.
+    // Nothing downstream consumes these (the reference's bmap is write-only
+    // too); they ride the view for parity/inspection.
+    if (cur->n_bmvs < kMaxMvs) {
+      const float hw = mv.w / 2, hh = mv.h / 2;
+      float x0 = mv.dst_x - hw, y0 = mv.dst_y - hh;
+      if (x0 < 0) x0 = 0;
+      if (y0 < 0) y0 = 0;
+      float x1 = mv.dst_x + hw, y1 = mv.dst_y + hh;
+      if (x1 >= W) x1 = W - 1;
+      if (y1 >= H) y1 = H - 1;
+      cur->bmv_delta.insert(cur->bmv_delta.end(),
+                            {mv.dst_x - mv.src_x, mv.dst_y - mv.src_y});
+      cur->bmv_rect.insert(cur->bmv_rect.end(), {x0, y0, x1, y1});
+      ++cur->n_bmvs;
+    }
+    return 0.f;
+  }
 
   const float mb_w = mv.w, mb_h = mv.h;
   const float half_w = mb_w / 2, half_h = mb_h / 2;
@@ -186,6 +211,10 @@ typedef struct {
   const int32_t* mv_dindx;
   const float* kps_rect;
   int32_t mv_dropped, kp_dropped;
+  const uint8_t* rgb;  // H*W*3 or null (enable with mvdec_set_rgb)
+  int32_t n_bmvs;      // B-frame forward records (reference bmap parity)
+  const float* bmv_delta;
+  const float* bmv_rect;
 } MvFrameView;
 
 struct MvDecoder {
@@ -194,6 +223,8 @@ struct MvDecoder {
   AVPacket* packet = nullptr;
   AVFrame* frame = nullptr;
   SwsContext* sws = nullptr;
+  SwsContext* sws_rgb = nullptr;
+  bool want_rgb = false;
   int stream_index = -1;
   int width = 0, height = 0;
   double fps = 30.0;
@@ -252,6 +283,9 @@ MvDecoder* mvdec_open(const char* url, int qlen) {
 }
 
 const char* mvdec_error(MvDecoder* d) { return d->err[0] ? d->err : nullptr; }
+// Enable the RGB frame surface (avframeToCvmatRGB, VideoBase.h:60-68);
+// call before the first mvdec_next.
+void mvdec_set_rgb(MvDecoder* d, int enable) { d->want_rgb = enable != 0; }
 int mvdec_width(MvDecoder* d) { return d->width; }
 int mvdec_height(MvDecoder* d) { return d->height; }
 double mvdec_fps(MvDecoder* d) { return d->fps; }
@@ -267,17 +301,30 @@ static void to_gray(MvDecoder* d, AVFrame* f, std::vector<uint8_t>& out) {
   sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
 }
 
+static void to_rgb(MvDecoder* d, AVFrame* f, std::vector<uint8_t>& out) {
+  out.resize((size_t)d->width * d->height * 3);
+  d->sws_rgb = sws_getCachedContext(
+      d->sws_rgb, f->width, f->height, (AVPixelFormat)f->format, d->width,
+      d->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
+  uint8_t* dst[1] = {out.data()};
+  int dst_stride[1] = {d->width * 3};
+  sws_scale(d->sws_rgb, f->data, f->linesize, 0, f->height, dst, dst_stride);
+}
+
 // Convert one decoded AVFrame's MV side data into chain records distributed
 // over the lookahead queue (VideoDecoder.cc:194-350 semantics).
 static void process_frame(MvDecoder* d, AVFrame* f) {
   auto qf = std::make_unique<QueuedFrame>();
   qf->frame_no = ++d->frames;
-  qf->ft = (f->pict_type == AV_PICTURE_TYPE_I) ? 0 : 1;
+  qf->ft = (f->pict_type == AV_PICTURE_TYPE_I)   ? 0
+           : (f->pict_type == AV_PICTURE_TYPE_B) ? 2
+                                                 : 1;
   qf->timestamp =
       f->pts != AV_NOPTS_VALUE
           ? f->pts * av_q2d(d->fmt->streams[d->stream_index]->time_base)
           : (d->frames - 1) / d->fps;
   to_gray(d, f, qf->gray);
+  if (d->want_rgb) to_rgb(d, f, qf->rgb);
 
   AVFrameSideData* sd =
       av_frame_get_side_data(f, AV_FRAME_DATA_MOTION_VECTORS);
@@ -352,6 +399,10 @@ const MvFrameView* mvdec_next(MvDecoder* d) {
       q->kps_rect.data(),
       q->mv_dropped,
       q->kp_dropped,
+      q->rgb.empty() ? nullptr : q->rgb.data(),
+      q->n_bmvs,
+      q->bmv_delta.data(),
+      q->bmv_rect.data(),
   };
   return &d->view;
 }
@@ -359,6 +410,7 @@ const MvFrameView* mvdec_next(MvDecoder* d) {
 void mvdec_close(MvDecoder* d) {
   if (!d) return;
   if (d->sws) sws_freeContext(d->sws);
+  if (d->sws_rgb) sws_freeContext(d->sws_rgb);
   if (d->frame) av_frame_free(&d->frame);
   if (d->packet) av_packet_free(&d->packet);
   if (d->codec) avcodec_free_context(&d->codec);

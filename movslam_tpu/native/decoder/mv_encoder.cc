@@ -23,9 +23,10 @@ extern "C" {
 
 // Encode n gray frames (h*w each, concatenated) to an H.264 file at the
 // reference operating point. refs: number of reference frames (1..4).
-// Returns 0 on success, negative on error.
+// bframes: consecutive B-frames (0 = the published operating point;
+// nonzero exercises the decoder's B-frame branch). Returns 0 on success.
 int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
-                      int n, double fps, int keyint, int refs) {
+                      int n, double fps, int keyint, int refs, int bframes) {
   const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) return -1;
 
@@ -42,15 +43,15 @@ int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
   c->time_base = AVRational{1, (int)fps};
   st->time_base = c->time_base;
   c->gop_size = keyint;
-  c->max_b_frames = 0;
+  c->max_b_frames = bframes;
   c->refs = refs;
   av_opt_set(c->priv_data, "preset", "fast", 0);
   av_opt_set(c->priv_data, "tune", "film", 0);
   char params[256];
   snprintf(params, sizeof(params),
            "partitions=p8x8,p4x4,i8x8:keyint=%d:me=umh:merange=64:subme=6:"
-           "bframes=0:ref=%d:scenecut=0",
-           keyint, refs);
+           "bframes=%d:ref=%d:scenecut=0",
+           keyint, bframes, refs);
   av_opt_set(c->priv_data, "x264-params", params, 0);
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;

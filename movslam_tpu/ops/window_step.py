@@ -139,12 +139,27 @@ def tracked_window_step(
         body, carry0, xs
     )
     state_out, _, key_out = carry[0], carry[1], carry[2]
+    # Device-resident pose-chain exit point: lets the host dispatch the NEXT
+    # window speculatively (pipelined drive) without pulling this window's
+    # results first — same layout as the pose_pack input.
+    pose_carry = jnp.concatenate(
+        [
+            carry[3].reshape(-1), carry[4],            # last pose
+            carry[5].reshape(-1), carry[6],            # velocity
+            carry[7].astype(jnp.float32)[None],        # has_vel
+        ]
+    )
 
     wire = jnp.concatenate(
         [
             packed_w.reshape(-1),                       # W*N*packed_cols
             scalars_w.reshape(-1),                      # W*16
             visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
+            # Per-frame descriptors ride the wire as f32-bitcast u32 words:
+            # keyframe creation archives them host-side, and a separate
+            # per-KF pull would cost a full RTT (~40 ms) — more than the
+            # ~2-8 ms these extra bytes add to every window pull.
+            jax.lax.bitcast_convert_type(desc_w, jnp.float32).reshape(-1),
         ]
     )
     return {
@@ -156,4 +171,5 @@ def tracked_window_step(
         # rebuild the TrackState on device).
         "desc_w": desc_w,
         "packed_w": packed_w,
+        "pose_carry": pose_carry,
     }

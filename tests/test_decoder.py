@@ -92,3 +92,40 @@ def test_h264_operating_point_decode(tmp_path):
         r = f.mv_rect[: f.n_mvs]
         assert (r[:, 0] >= 0).all() and (r[:, 2] <= 639).all()
         assert (r[:, 0] <= r[:, 2]).all() and (r[:, 1] <= r[:, 3]).all()
+
+
+def test_bframe_branch_and_rgb(tmp_path):
+    """B-frame branch (VideoDecoder.cc:255-286): bframes>0 streams classify
+    ft=B and collect forward-prediction records (the reference's bmap);
+    RGB surface parity (VideoBase.h:60-68)."""
+    from movslam_tpu.io.video import VideoDecoder, encode_gray
+    from movslam_tpu.io.mvimage import FrameType
+
+    rng = np.random.default_rng(1)
+    H, W, N = 120, 160, 30
+    base = rng.integers(0, 255, (H * 2, W * 2)).astype(np.uint8)
+    frames = np.stack([base[k : k + H, k : k + W] for k in range(N)])
+    path = str(tmp_path / "btest.mp4")
+    encode_gray(path, frames, fps=30.0, keyint=1000, refs=2, bframes=2)
+
+    dec = VideoDecoder(path, qlen=6, rgb=True)
+    dec.init()
+    counts = {0: 0, 1: 0, 2: 0}
+    n_bmv_total = 0
+    n_rgb = 0
+    for smv in dec:
+        counts[int(smv.ft)] += 1
+        n_bmv_total += smv.n_bmvs
+        if smv.im_rgb is not None:
+            assert smv.im_rgb.shape == (H, W, 3)
+            lum = smv.im_rgb.mean(2)
+            assert np.corrcoef(lum.ravel(), smv.im_gray.ravel())[0, 1] > 0.95
+            n_rgb += 1
+        if smv.n_bmvs:
+            assert smv.ft == FrameType.B_FRAME
+            assert smv.bmv_delta.shape == (smv.n_bmvs, 2)
+            assert smv.bmv_rect.shape == (smv.n_bmvs, 4)
+    dec.close()
+    assert counts[2] > 0, "no B-frames decoded"
+    assert n_bmv_total > 0, "no forward-prediction records collected"
+    assert n_rgb == sum(counts.values())

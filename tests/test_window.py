@@ -80,6 +80,46 @@ def test_windowed_mixed_batch_with_iframe(stream_items):
     assert sys_w.get_total_lost() <= 1
 
 
+def test_pipelined_stream_drive(stream_items):
+    """flush=False streaming drive: window k+1 dispatches on window k's
+    device carry before k is replayed (System._batch_drive), and the
+    deferred fused mapper (ops/mapper_step) commits each keyframe's
+    triangulation+BA one keyframe late. Poses lag by at most one window and
+    drain on the final flush; tracking must stay lossless and the map must
+    keep growing."""
+    sys_w = System(_settings(), MONOCULAR)
+    poses = []
+    k = 0
+    while k < len(stream_items):
+        poses.extend(
+            sys_w.track_monocular_batch(stream_items[k : k + 8], flush=False)
+        )
+        k += 8
+    poses.extend(sys_w.track_monocular_batch([], flush=True))
+    sys_w.shutdown()
+    assert len(poses) == len(stream_items)
+    assert sys_w.get_total_lost() == 0
+    assert sys_w.image_count == len(stream_items)
+    assert sys_w.atlas.current.n_keyframes() >= 5
+    assert sys_w.atlas.current.n_mappoints() > 100
+    # the tail of the stream must still be tracked (poses present)
+    assert all(p is not None for p in poses[-8:])
+
+
+def test_pipelined_mixed_with_per_frame(stream_items):
+    """A per-frame call while a window is in flight must drain the pipeline
+    first (System._flush_windows) — no frames lost or double-tracked."""
+    sys_w = System(_settings(), MONOCULAR)
+    sys_w.track_monocular_batch(stream_items[:40], flush=False)
+    # direct per-frame calls with the pipeline possibly holding a window
+    for ts, f in stream_items[40:44]:
+        sys_w.track_monocular(ts, f)
+    sys_w.track_monocular_batch(stream_items[44:], flush=True)
+    sys_w.shutdown()
+    assert sys_w.image_count == len(stream_items)
+    assert sys_w.get_total_lost() == 0
+
+
 @pytest.mark.slow
 def test_golden_ate_windowed():
     """Golden-ATE regression gate (round-1 weakness: no tight ATE bound).
