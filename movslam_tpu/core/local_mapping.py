@@ -388,6 +388,12 @@ class LocalMapping:
         self.defer_mapping = False
         self.defer_min_kfs = 8
         self._deferred = None
+        # Live visual-inertial local BA (ops/vi_ba): once the map is
+        # IMU-initialized, local BA jointly optimizes poses + velocities +
+        # biases with preintegrated inertial edges along the temporal
+        # keyframe chain — the LocalInertialBA the reference only defines
+        # types for (G2oTypes.h:522-666).
+        self.use_vi_ba = True
 
     # --- queue interface (Tracking -> mapper) ------------------------------
     def insert_keyframe(self, kf):
@@ -501,7 +507,14 @@ class LocalMapping:
                 self.lba_count += 1
         elif not self.queue and m.n_keyframes() > 2:
             t0 = _time.perf_counter()
-            self._local_ba(m)  # async dispatch; writeback at next commit
+            if (
+                self.use_vi_ba
+                and self.imu_buffer is not None
+                and getattr(m, "imu_initialized", False)
+            ):
+                self._local_ba_vi(m)  # joint visual-inertial, sync commit
+            else:
+                self._local_ba(m)  # async dispatch; writeback at next commit
             self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
             self.lba_count += 1
 
@@ -888,6 +901,149 @@ class LocalMapping:
             "obs_meta": prob["obs_meta"], "kfs": kfs,
             "mps": prob["mps"], "kf_fixed": prob["kf_fixed"], "map": m,
         }
+
+    def _local_ba_vi(self, m):
+        """Joint visual-inertial local BA: the temporal keyframe chain
+        (prev_kf links) carries preintegrated inertial + bias-random-walk
+        edges between consecutive states, jointly solved with the visual
+        reprojection edges by ops/vi_ba.vi_ba_solve — ORB-SLAM3's
+        LocalInertialBA shape, which the reference only defines g2o types
+        for (/root/reference/include/G2oTypes.h:522-666). Synchronous
+        commit (the VI path trades a little latency for fresher states)."""
+        from ..ops.imu import preintegrate
+        from ..ops.vi_ba import vi_ba_solve
+        from .inertial import _stack_windows
+
+        kf0 = self.current_kf
+        chain = [kf0]
+        while (
+            len(chain) < MAX_OPT_KF
+            and chain[-1].prev_kf is not None
+            and not chain[-1].prev_kf.bad
+            and chain[-1].prev_kf.id in m.keyframes
+        ):
+            chain.append(chain[-1].prev_kf)
+        chain.reverse()  # temporal order; edges between consecutive rows
+        if len(chain) < 2:
+            return self._local_ba(m)
+        local_ids = {kf.id for kf in chain}
+
+        local_mps = {}
+        for kf in chain:
+            for mid in kf.mp_ids:
+                if mid >= 0 and mid not in local_mps:
+                    mp = m.mappoints.get(int(mid))
+                    if mp is not None and not mp.bad:
+                        local_mps[int(mid)] = mp
+        if not local_mps:
+            return
+        mps = list(local_mps.values())[:MAX_BA_MP]
+
+        fixed = {}
+        for mp in mps:
+            for kf_id in mp.obs:
+                if kf_id not in local_ids and kf_id not in fixed:
+                    kf = m.keyframes.get(kf_id)
+                    if kf is not None and not kf.bad:
+                        fixed[kf_id] = kf
+        fixed = list(fixed.values())[:MAX_FIX_KF]
+
+        kfs = chain + fixed
+        K = MAX_OPT_KF + MAX_FIX_KF
+        prob = assemble_ba_problem(kfs, len(chain), mps, m.init_kf_id, K)
+        if prob is None:
+            return
+
+        # Inertial chain state: per-KF velocity/bias with sane defaults for
+        # keyframes created after the VI init (finite-difference velocity,
+        # bias carried forward from the previous keyframe).
+        kf_v = np.zeros((K, 3), np.float32)
+        kf_bg = np.zeros((K, 3), np.float32)
+        kf_ba = np.zeros((K, 3), np.float32)
+        for i, kf in enumerate(kfs):
+            if kf.bias_g is not None:
+                kf_bg[i] = kf.bias_g
+                kf_ba[i] = kf.bias_a
+            elif i > 0 and i < len(chain) and kfs[i - 1].bias_g is not None:
+                kf_bg[i] = kfs[i - 1].bias_g
+                kf_ba[i] = kfs[i - 1].bias_a
+            if kf.velocity is not None:
+                kf_v[i] = kf.velocity
+            elif i > 0 and i < len(chain):
+                dt = max(kf.timestamp - kfs[i - 1].timestamp, 1e-3)
+                kf_v[i] = (kf.center() - kfs[i - 1].center()) / dt
+
+        gyro, acc, dts, valid, w_ok = _stack_windows(chain, self.imu_buffer)
+        E_chain = len(chain) - 1
+        pre_valid = np.zeros(K - 1, bool)
+        pre_valid[:E_chain] = w_ok
+        pre_bg0 = np.zeros((K - 1, 3), np.float32)
+        pre_ba0 = np.zeros((K - 1, 3), np.float32)
+        pre_bg0[:E_chain] = kf_bg[:E_chain]
+        pre_ba0[:E_chain] = kf_ba[:E_chain]
+
+        # Pad the window stack to K-1 edges and preintegrate at each edge's
+        # start-of-window bias (one vmapped lax.scan for all edges).
+        cap = gyro.shape[1]
+        G = np.zeros((K - 1, cap, 3), np.float32)
+        A = np.zeros((K - 1, cap, 3), np.float32)
+        D = np.zeros((K - 1, cap), np.float32)
+        V = np.zeros((K - 1, cap), bool)
+        G[:E_chain], A[:E_chain], D[:E_chain], V[:E_chain] = gyro, acc, dts, valid
+        ng, na = self.imu_noise
+        pres = jax.vmap(
+            lambda g, a, d, v, bg, ba: preintegrate(
+                g, a, d, v, bg, ba, sigma_g=ng, sigma_a=na
+            )
+        )(
+            jnp.asarray(G), jnp.asarray(A), jnp.asarray(D), jnp.asarray(V),
+            jnp.asarray(pre_bg0), jnp.asarray(pre_ba0),
+        )
+
+        cam = self.camera
+        kf_pack = prob["kf_pack"]
+        res = vi_ba_solve(
+            jnp.asarray(kf_pack[:, 0:9].reshape(K, 3, 3)),
+            jnp.asarray(kf_pack[:, 9:12]),
+            jnp.asarray(kf_pack[:, 12] > 0),
+            jnp.asarray(kf_pack[:, 13] > 0),
+            jnp.asarray(kf_v), jnp.asarray(kf_bg), jnp.asarray(kf_ba),
+            jnp.asarray(prob["mp_pack"][:, 0:3]),
+            jnp.asarray(prob["mp_pack"][:, 3] > 0),
+            jnp.asarray(prob["obs_pack"][:, 0].astype(np.int32)),
+            jnp.asarray(prob["obs_pack"][:, 1].astype(np.int32)),
+            jnp.asarray(prob["obs_pack"][:, 2:4]),
+            jnp.asarray(prob["obs_pack"][:, 5] > 0),
+            jnp.asarray(prob["obp"]),
+            pres, jnp.asarray(pre_valid),
+            jnp.asarray(pre_bg0), jnp.asarray(pre_ba0),
+            cam.fx, cam.fy, cam.cx, cam.cy,
+            obs_ur=jnp.asarray(prob["obs_pack"][:, 4]), bf=self.bf,
+            kf_vb_fixed=jnp.asarray(
+                np.arange(K) >= len(chain)
+            ),  # anchors keep v/b; every chain state's v/b is free
+        )
+        res = jax.device_get(res)
+
+        out_kf = np.concatenate(
+            [np.asarray(res["kf_R"]).reshape(K, 9), np.asarray(res["kf_t"])],
+            axis=1,
+        )
+        out_obs = np.stack(
+            [np.asarray(res["chi2"]), np.asarray(res["depth"])], axis=1
+        )
+        commit_ba_result(
+            (out_kf, np.asarray(res["mp_pos"]), out_obs),
+            prob["obs_meta"], kfs, prob["mps"], prob["kf_fixed"], m,
+        )
+        v_out = np.asarray(res["kf_v"], np.float64)
+        bg_out = np.asarray(res["kf_bg"], np.float64)
+        ba_out = np.asarray(res["kf_ba"], np.float64)
+        for i, kf in enumerate(chain):
+            if not kf.bad:
+                kf.velocity = v_out[i]
+                kf.bias_g = bg_out[i]
+                kf.bias_a = ba_out[i]
 
     def _prepare_local_ba(self, m):
         """Assemble the local-BA problem at the PINNED mapper shapes

@@ -763,6 +763,14 @@ class System:
     def save_keyframe_trajectory_tum(self, filename):
         traj.save_keyframe_trajectory_tum(self.atlas, filename)
 
+    def frame_trajectory(self):
+        """Per-frame (ts, R_cw, t_cw, lost) tuples reconstructed against the
+        bundle-adjusted keyframe poses — what the trajectory savers write and
+        what evaluation should score (reference semantics, System.cc:458-720).
+        Live track_monocular return values carry pre-BA early-map gauge error
+        that this reconstruction retroactively removes."""
+        return list(traj.frame_trajectory(self.tracking))
+
     def save_trajectory_euroc(self, filename):
         traj.save_frame_trajectory(self.tracking, filename, scale_ts=1e9)
 

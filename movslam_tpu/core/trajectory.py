@@ -121,17 +121,29 @@ def save_keyframe_trajectory_tum(atlas, filename):
                 )
 
 
+def frame_trajectory(tracking):
+    """Per-frame poses reconstructed from the relative-pose logs against the
+    CURRENT (bundle-adjusted) reference-keyframe poses — the reference's saver
+    semantics (System::SaveTrajectoryEuRoC, System.cc:458-720): T_cw(frame) =
+    T_rel * T_cw(refKF). BA corrections to keyframes thus retroactively
+    correct the whole trajectory, which is why the saved trajectory is far
+    more accurate than the live per-frame estimates (pre-BA early-map gauge
+    error never reaches it). Yields (ts, R_cw, t_cw, lost)."""
+    for (R_rel, t_rel), ref_kf, ts, lost in zip(
+        tracking.rel_poses, tracking.rel_refs, tracking.rel_times, tracking.rel_lost
+    ):
+        if ref_kf is None:
+            continue
+        R_cw = R_rel @ ref_kf.R
+        t_cw = R_rel @ ref_kf.t + t_rel
+        yield ts, R_cw, t_cw, lost
+
+
 def save_frame_trajectory(tracking, filename, scale_ts=1.0):
     """Per-frame trajectory from relative-pose logs (System::SaveTrajectoryTUM
     / EuRoC): T_cw(frame) = T_rel * T_cw(refKF); rows are T_wc."""
     with open(filename, "w") as f:
-        for (R_rel, t_rel), ref_kf, ts, lost in zip(
-            tracking.rel_poses, tracking.rel_refs, tracking.rel_times, tracking.rel_lost
-        ):
-            if ref_kf is None:
-                continue
-            R_cw = R_rel @ ref_kf.R
-            t_cw = R_rel @ ref_kf.t + t_rel
+        for ts, R_cw, t_cw, lost in frame_trajectory(tracking):
             t_wc, q = _quat_wc(R_cw, t_cw)
             f.write(
                 f"{scale_ts * ts:.6f} {t_wc[0]:.9f} {t_wc[1]:.9f} {t_wc[2]:.9f} "

@@ -99,6 +99,82 @@ def _total_cost(chi2, w_valid):
     return jnp.sum(rho * w_valid)
 
 
+def schur_reduce(W, g_p, g_l, Hpp, Hll, obs_kf, obs_mp, obs_by_point, lam, K, P, O):
+    """Marginalize the landmark blocks out of the visual normal equations.
+
+    Inputs are the block gradients/Hessians from a visual linearization
+    (see ba_solve.linearize). Returns (S (K*6, K*6) reduced camera system
+    including Hpp + lam*I on the diagonal, rhs (K, 6), Hll_inv (P, 3, 3)
+    for landmark back-substitution). Shared by ba_solve and the
+    visual-inertial solver (ops/vi_ba)."""
+    MOPP = obs_by_point.shape[1]
+    eye3 = jnp.eye(3)
+    eye6 = jnp.eye(6)
+
+    Hll_d = Hll + lam * eye3[None] + 1e-8 * eye3[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)  # (P, 3, 3) batched closed form
+
+    # Schur RHS: g_p - sum_o W_o Hll_inv_{p(o)} g_l_{p(o)}
+    Hinv_gl = jnp.einsum("pij,pj->pi", Hll_inv, g_l)  # (P, 3)
+    rhs = g_p - jax.ops.segment_sum(
+        jnp.einsum("oij,oj->oi", W, Hinv_gl[obs_mp]), obs_kf, num_segments=K
+    )
+
+    # Schur LHS: Hpp + lam I - sum_p sum_{a,b in obs(p)} W_a Hinv_p W_b^T
+    # Pad observations: index O addresses zero blocks.
+    W_pad = jnp.concatenate([W, jnp.zeros((1, 6, 3))], axis=0)
+    kf_pad = jnp.concatenate([obs_kf, jnp.zeros((1,), obs_kf.dtype)], axis=0)
+    Wp = W_pad[obs_by_point]  # (P, MOPP, 6, 3)
+    kfp = kf_pad[obs_by_point]  # (P, MOPP)
+    pad_mask = (obs_by_point < O).astype(jnp.float32)  # (P, MOPP)
+
+    Yp = jnp.einsum("pmij,pjk->pmik", Wp, Hll_inv)  # (P, MOPP, 6, 3)
+
+    # All (m, n) observation pairs of every point in ONE batched einsum +
+    # ONE segment-sum (the previous MOPP^2 fori_loop of scatter-adds
+    # serialized ~256 tiny kernels and dominated local-BA latency).
+    # Large point counts (global BA) chunk over the m axis to bound the
+    # (P, M, M, 6, 6) intermediate.
+    if P * MOPP * MOPP * 36 * 4 <= 200 * 1024 * 1024:
+        pair_blk = -jnp.einsum(
+            "pmik,pnjk->pmnij", Yp, Wp, preferred_element_type=jnp.float32
+        )  # (P, MOPP, MOPP, 6, 6)
+        pm = (pad_mask[:, :, None] * pad_mask[:, None, :])[..., None, None]
+        seg = (kfp[:, :, None] * K + kfp[:, None, :]).reshape(-1)
+        S = jax.ops.segment_sum(
+            (pair_blk * pm).reshape(-1, 6, 6), seg, num_segments=K * K
+        )
+    else:
+        def m_chunk(m, S_acc):
+            Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
+            km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
+            mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
+            blk = -jnp.einsum(
+                "pik,pnjk->pnij", Ym, Wp, preferred_element_type=jnp.float32
+            ) * (mm[:, None] * pad_mask)[..., None, None]
+            seg = (km[:, None] * K + kfp).reshape(-1)
+            return S_acc + jax.ops.segment_sum(
+                blk.reshape(-1, 6, 6), seg, num_segments=K * K
+            )
+
+        S = jax.lax.fori_loop(
+            0, MOPP, m_chunk, jnp.zeros((K * K, 6, 6))
+        )
+    Hpp_d = Hpp + lam * eye6[None]
+    S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
+    S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    return S, rhs, Hll_inv
+
+
+def backsub_landmarks(dxi, W, Hll_inv, g_l, obs_kf, obs_mp, P, mp_valid):
+    """Back-substitute landmark updates: dX = Hll_inv (g_l - sum W^T dxi)."""
+    Wt_dxi = jax.ops.segment_sum(
+        jnp.einsum("oij,oi->oj", W, dxi[obs_kf]), obs_mp, num_segments=P
+    )  # (P, 3)
+    dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi)
+    return jnp.where(jnp.isfinite(dX), dX, 0.0) * mp_valid[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def ba_solve(
     kf_R,
@@ -172,58 +248,9 @@ def ba_solve(
     def solve(R, t, X, lam):
         _, W, g_p, g_l, Hpp, Hll, cost0, _, _ = linearize(R, t, X)
 
-        Hll_d = Hll + lam * eye3[None] + 1e-8 * eye3[None]
-        Hll_inv = jnp.linalg.inv(Hll_d)  # (P, 3, 3) batched closed form
-
-        # Schur RHS: g_p - sum_o W_o Hll_inv_{p(o)} g_l_{p(o)}
-        Hinv_gl = jnp.einsum("pij,pj->pi", Hll_inv, g_l)  # (P, 3)
-        rhs = g_p - jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", W, Hinv_gl[obs_mp]), obs_kf, num_segments=K
+        S, rhs, Hll_inv = schur_reduce(
+            W, g_p, g_l, Hpp, Hll, obs_kf, obs_mp, obs_by_point, lam, K, P, O
         )
-
-        # Schur LHS: Hpp + lam I - sum_p sum_{a,b in obs(p)} W_a Hinv_p W_b^T
-        # Pad observations: index O addresses zero blocks.
-        W_pad = jnp.concatenate([W, jnp.zeros((1, 6, 3))], axis=0)
-        kf_pad = jnp.concatenate([obs_kf, jnp.zeros((1,), obs_kf.dtype)], axis=0)
-        Wp = W_pad[obs_by_point]  # (P, MOPP, 6, 3)
-        kfp = kf_pad[obs_by_point]  # (P, MOPP)
-        pad_mask = (obs_by_point < O).astype(jnp.float32)  # (P, MOPP)
-
-        Yp = jnp.einsum("pmij,pjk->pmik", Wp, Hll_inv)  # (P, MOPP, 6, 3)
-
-        # All (m, n) observation pairs of every point in ONE batched einsum +
-        # ONE segment-sum (the previous MOPP^2 fori_loop of scatter-adds
-        # serialized ~256 tiny kernels and dominated local-BA latency).
-        # Large point counts (global BA) chunk over the m axis to bound the
-        # (P, M, M, 6, 6) intermediate.
-        if P * MOPP * MOPP * 36 * 4 <= 200 * 1024 * 1024:
-            pair_blk = -jnp.einsum(
-                "pmik,pnjk->pmnij", Yp, Wp, preferred_element_type=jnp.float32
-            )  # (P, MOPP, MOPP, 6, 6)
-            pm = (pad_mask[:, :, None] * pad_mask[:, None, :])[..., None, None]
-            seg = (kfp[:, :, None] * K + kfp[:, None, :]).reshape(-1)
-            S = jax.ops.segment_sum(
-                (pair_blk * pm).reshape(-1, 6, 6), seg, num_segments=K * K
-            )
-        else:
-            def m_chunk(m, S_acc):
-                Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
-                km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
-                mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
-                blk = -jnp.einsum(
-                    "pik,pnjk->pnij", Ym, Wp, preferred_element_type=jnp.float32
-                ) * (mm[:, None] * pad_mask)[..., None, None]
-                seg = (km[:, None] * K + kfp).reshape(-1)
-                return S_acc + jax.ops.segment_sum(
-                    blk.reshape(-1, 6, 6), seg, num_segments=K * K
-                )
-
-            S = jax.lax.fori_loop(
-                0, MOPP, m_chunk, jnp.zeros((K * K, 6, 6))
-            )
-        Hpp_d = Hpp + lam * eye6[None]
-        S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp_d)
-        S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
 
         # Mask out fixed/invalid keyframes: identity rows/cols, zero rhs.
         m = jnp.repeat(free.astype(jnp.float32), 6)
@@ -236,12 +263,7 @@ def ba_solve(
         dxi = jnp.linalg.solve(S + 1e-6 * jnp.eye(K * 6), b).reshape(K, 6)
         dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
 
-        # Back-substitute landmarks: dX = Hinv (g_l - sum W^T dxi)
-        Wt_dxi = jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", W, dxi[obs_kf]), obs_mp, num_segments=P
-        )  # (P, 3)
-        dX = jnp.einsum("pij,pj->pi", Hll_inv, g_l - Wt_dxi)
-        dX = jnp.where(jnp.isfinite(dX), dX, 0.0) * mp_valid[:, None]
+        dX = backsub_landmarks(dxi, W, Hll_inv, g_l, obs_kf, obs_mp, P, mp_valid)
 
         # Apply updates.
         dR, dt = se3_exp(dxi)

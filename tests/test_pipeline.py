@@ -71,15 +71,29 @@ def test_full_mono_pipeline_ate():
     assert m.n_mappoints() > 100, m.n_mappoints()
     assert len(est) >= n_frames - 10, len(est)
 
+    # Live per-frame poses: loose sanity bound only — they carry the pre-BA
+    # early-map gauge error that the saver semantics retroactively remove.
     gt = []
     es = []
     for k, c in est.items():
         R_gt, t_gt = stream.gt_pose(k)
         gt.append(-(R_gt.T @ t_gt))
         es.append(c)
-    ate = _umeyama_ate(gt, es)
-    # Trajectory span is ~1.5 m; sub-5cm scale-aligned ATE = healthy tracking.
-    assert ate < 0.09, f"ATE {ate:.4f} m"  # deterministic for this seed; multi-seed variance tracked in TODO.md
+    ate_live = _umeyama_ate(gt, es)
+    assert ate_live < 0.35, f"live ATE {ate_live:.4f} m"
+
+    # Post-hoc trajectory (reference evaluation semantics: saved trajectory
+    # reconstructed against BA-optimized keyframes, System.cc:458-720) gets
+    # the TIGHT golden gate: sub-2cm on a ~1.5 m path, stable across hosts.
+    gt2, es2 = [], []
+    for ts, R_cw, t_cw, lost in system.frame_trajectory():
+        k = round(ts * 30.0)
+        R_gt, t_gt = stream.gt_pose(k)
+        gt2.append(-(R_gt.T @ t_gt))
+        es2.append(-(R_cw.T @ t_cw))
+    assert len(es2) >= n_frames - 5
+    ate = _umeyama_ate(gt2, es2)
+    assert ate < 0.02, f"post-hoc ATE {ate:.4f} m"
 
     system.shutdown()
     # Trajectory savers produce parseable output.

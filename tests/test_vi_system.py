@@ -77,3 +77,10 @@ def test_vi_monocular_recovers_metric_scale():
     # Median metric error under 15% of the trajectory span (mono would be at
     # an arbitrary scale — typically off by the ~10x median scene depth).
     assert np.median(errs) < 0.15 * max(span, 0.5), (np.median(errs), span)
+
+    # The live VI-BA (ops/vi_ba via LocalMapping._local_ba_vi) must have
+    # stamped velocity/bias states onto post-init keyframes in the temporal
+    # chain — not just the VI-init snapshot.
+    last_kf = max(m.keyframes.values(), key=lambda kf: kf.id)
+    assert last_kf.velocity is not None
+    assert last_kf.bias_g is not None
