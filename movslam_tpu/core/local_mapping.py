@@ -1124,6 +1124,19 @@ class LocalMapping:
         )
         self._deferred = {"out": out, "tri": tri_job, "ba": ba_job, "map": m}
 
+    def poke_commit(self):
+        """Land any finished deferred mapper work into the host graph NOW.
+
+        The windowed drive calls this right before it (re)publishes the map
+        snapshot for the next speculative window: the deferred job of the
+        previous keyframe has had a full window of tracking to compute, so
+        committing here keeps speculation at most ONE keyframe stale
+        (without it, spec windows track against a snapshot missing the last
+        TWO keyframes' triangulations — measured inlier decay spirals into
+        tracking loss)."""
+        self._commit_pending_ba()
+        self._commit_deferred()
+
     def _commit_deferred(self):
         """Pull + commit the previous keyframe's fused mapper result: insert
         the gated triangulations, then write back the BA solution."""

@@ -65,8 +65,11 @@ class System:
         self._snapshot = None
         self._snapshot_key = None
         # In-flight window record of the pipelined batch drive (dispatched,
-        # not yet replayed). See track_monocular_batch / _batch_drive.
+        # not yet replayed) + host-side lookahead of frames buffered across
+        # batch calls (lets windows span caller batch boundaries so the
+        # KF-aligned schedule stays in phase). See _batch_drive.
         self._wf = None
+        self._pending = []
         # Fused one-dispatch frame path (ops/frame_step); legacy per-stage
         # path remains for init/loss states and as a fallback.
         self.fused_frontend = True
@@ -287,8 +290,26 @@ class System:
 
     def _batch_drive(self, items, flush, per_frame):
         results = []
-        todo = list(items)
+        todo = self._pending + list(items)
+        self._pending = []
         while todo:
+            # Host-side lookahead: with flush=False, fewer than a full
+            # window's frames stay buffered for the next call instead of
+            # being forced into fragmented short windows — the KF-aligned
+            # window schedule is 8-periodic but phase-shifted from the
+            # caller's batch boundaries (the reference decoder's 12-deep
+            # vqueue provides exactly this slack, VideoDecoder.cc:163-368).
+            if (
+                not flush
+                and len(todo) < self.window
+                and (
+                    self._wf is not None
+                    or (self._window_eligible(todo[0][1])
+                        and self._snapshot is not None)
+                )
+            ):
+                self._pending = todo
+                return results
             if self._wf is None:
                 run = self._collect_run(todo)
                 if run is not None:
@@ -303,6 +324,10 @@ class System:
             # its device carry, then replay the in-flight window. The
             # speculative window's compute overlaps this replay (and the
             # mapper work it triggers) — one host<->device sync per window.
+            # Commit the previous keyframe's deferred mapper output first
+            # (it computed during the in-flight window) so the snapshot the
+            # speculative window tracks against is at most one KF stale.
+            self.mapper.poke_commit()
             spec_run = self._collect_run(todo, speculative=True)
             spec = (
                 self._dispatch_window(spec_run, carry=self._wf)
@@ -328,12 +353,49 @@ class System:
                 results.append(per_frame(*it))
         return results
 
+    def _sim_kf_schedule(self, start_count, cooldown, last_kf_id, n):
+        """Forward-simulate the keyframe decision over the next n OK frames.
+
+        The windowed drive's keyframe timing is DETERMINISTIC on the host:
+        NeedNewKeyFrame (Tracking.cc:947-991, c2 = matches > 15 which holds
+        whenever tracking is OK) fires exactly when the frames-mode mapper
+        cooldown expires. Mirrors the replay loop's order (KF decision inside
+        track_fused, then mapper.tick()). Returns (kf_offsets, cooldown_end,
+        last_kf_end) so window boundaries can be placed ON keyframes —
+        a mid-window keyframe leaves the rest of the window tracking a stale
+        snapshot (the round-2 design rewound those at a ~2x throughput cost)."""
+        tr = self.tracking
+        nkfs = self.atlas.current.n_keyframes()
+        busy = self.mapper.busy_frames
+        offs = []
+        c, lk = cooldown, last_kf_id
+        for j in range(n):
+            fid = start_count + j
+            reloc_gate = (
+                fid < tr.last_reloc_frame_id + tr.max_frames
+                and nkfs > tr.max_frames
+            )
+            idle = c == 0
+            eligible = (
+                fid >= lk + tr.max_frames
+                or fid >= lk + tr.min_frames
+            )
+            if idle and eligible and not reloc_gate:
+                offs.append(j)
+                lk = fid
+                c = busy  # insert_keyframe resets the cooldown
+                nkfs += 1
+            if c > 0:
+                c -= 1  # mapper.tick()
+        return offs, c, lk
+
     def _collect_run(self, todo, speculative=False):
-        """Collect a power-of-two-bucketed window run from the head of todo.
-        speculative=True skips the host tracking-state checks (the state is
-        not known yet — the previous window has not been replayed) and
-        requires a mature map, where mid-window rewinds are rare enough that
-        speculation pays."""
+        """Collect a power-of-two-bucketed window run from the head of todo,
+        sized so that a predicted keyframe lands on the window's LAST frame
+        (then nothing tracks against the stale snapshot and no rewind is ever
+        needed). speculative=True skips the host tracking-state checks (the
+        state is not known yet — the previous window has not been replayed)
+        and requires a mature map, where speculation pays."""
         from ..io.mvimage import FrameType
 
         if not todo:
@@ -352,21 +414,40 @@ class System:
             if len(run) >= self.window or it[1].ft == FrameType.I_FRAME:
                 break
             run.append(it)
-        # Bucket the window length to a power of two: every distinct W
-        # compiles its own XLA program, and keyframe rewinds would otherwise
-        # produce arbitrary leftover lengths (one slow compile each on a
-        # remote TPU).
         L = 1 << (len(run).bit_length() - 1) if run else 0
+        # Align the window end with the next predicted keyframe. For a
+        # speculative run the in-flight window hasn't been replayed yet, so
+        # predict from its simulated exit state (stored at dispatch).
+        if speculative and self._wf is not None:
+            start, cool, lastkf = self._wf["sched_exit"]
+        else:
+            start = self.image_count
+            cool = self.mapper.cooldown
+            lastkf = self.tracking.last_kf_frame_id
+        offs, _, _ = self._sim_kf_schedule(start, cool, lastkf, len(run))
+        if offs and offs[0] + 1 >= 2:
+            # Largest power-of-two window that ends at or before the KF
+            # frame: ending ON it is ideal (KF at last slot, zero staleness);
+            # ending before it is clean too (no KF inside). Never straddle
+            # when a shorter window can avoid it.
+            L = min(L, 1 << ((offs[0] + 1).bit_length() - 1))
+        # offs[0] == 0: the KF is due at the window's first frame — any
+        # window straddles it; accept (staleness is W-1 frames, the
+        # no-rewind replay tolerates it and the next window realigns).
         run = run[:L]
         return run if len(run) >= 2 else None
 
     def _absorb_imu(self, items):
         """Strip per-item IMU arrays from (ts, smv, imu) batch tuples into
-        the buffer, keyed by the frame ids the items will get."""
+        the buffer, keyed by the frame ids the items will get (frames still
+        in flight or buffered in the host lookahead shift those ids)."""
+        ahead = len(self._pending) + (
+            len(self._wf["run"]) if self._wf is not None else 0
+        )
         out = []
         for k, it in enumerate(items):
             if len(it) == 3 and it[2] is not None:
-                self.imu_buffer.add(self.image_count + k, it[2])
+                self.imu_buffer.add(self.image_count + ahead + k, it[2])
             out.append((it[0], it[1]))
         return out
 
@@ -396,10 +477,12 @@ class System:
         self.mapper.throttle_mode = "frames"
         self.mapper.defer_mapping = True
         # Adaptive cadence: a young map needs dense keyframes (losses at
-        # sparse cadence happen in the first seconds); a mature one tracks
-        # comfortably at ~1 KF per window.
+        # sparse cadence happen in the first seconds); a mature one gets a
+        # cooldown of exactly the window length, so the deterministic KF
+        # schedule (_sim_kf_schedule) lands one keyframe on the LAST frame of
+        # each full window — zero stale-snapshot frames, zero rewinds.
         self.mapper.busy_frames = (
-            3 if self.atlas.current.n_keyframes() < 8 else self.window - 2
+            3 if self.atlas.current.n_keyframes() < 8 else self.window
         )
         self._refresh_snapshot()
         snap = self._snapshot
@@ -467,9 +550,20 @@ class System:
         self._prev_state = out["state"]
         self._prev_img = imgs_dev[-1]
         self.extractor._next_id_dev = out["state"].next_id
+        # Simulated scheduler state at this window's exit (image counter,
+        # mapper cooldown, last-KF id): lets a speculative next window be
+        # KF-aligned before this one has replayed.
+        if carry is None:
+            start = self.image_count
+            cool = self.mapper.cooldown
+            lastkf = tr.last_kf_frame_id
+        else:
+            start, cool, lastkf = carry["sched_exit"]
+        _, cool_x, lastkf_x = self._sim_kf_schedule(start, cool, lastkf, len(run))
         return {
             "out": out, "run": run, "snap": snap, "imgs_dev": imgs_dev,
             "stereo": stereo, "n_mvs": n_mvs,
+            "sched_exit": (start + len(run), cool_x, lastkf_x),
         }
 
     def _replay_window(self, wf):
@@ -546,12 +640,18 @@ class System:
                 if kf is not None and len(frame.cap_rows):
                     kf.desc = desc_w[k][frame.cap_rows]
                 # Stereo and young maps always rewind (stale-snapshot frames
-                # measurably degrade the gauge while it is still forming);
-                # mature mono continues unless the health margin is thin.
+                # measurably degrade the gauge while it is still forming).
+                # Mature mono keeps consuming: windows are KF-ALIGNED
+                # (_collect_run sizes them so the KF is the last frame), so a
+                # mid-window KF only happens after a schedule miss — then the
+                # stale remainder is tolerated unless the very next frame is
+                # already at the loss gate (30 local-map inliers,
+                # Tracking.cc:930), where a fresh snapshot is the difference
+                # between tracking and losing the map.
                 if k + 1 < W and (
                     stereo
                     or self.atlas.current.n_keyframes() < 10
-                    or int(scal_w[k + 1, 13]) < 45
+                    or int(scal_w[k + 1, 13]) < 33
                 ):
                     rewound = True
                     break
@@ -707,15 +807,21 @@ class System:
         and push any rewound remainder through the per-frame paths. Called
         defensively at every per-frame entry point and at shutdown so mixed
         batch/per-frame usage and flush=False streams stay consistent."""
-        if self._wf is None:
-            return
-        wf, self._wf = self._wf, None
-        _, consumed, _ = self._replay_window(wf)
-        for it in wf["run"][consumed:]:
-            if len(it) == 3:
-                self.track_stereo(*it)
-            else:
-                self.track_monocular(*it)
+        if self._wf is not None:
+            wf, self._wf = self._wf, None
+            _, consumed, _ = self._replay_window(wf)
+            for it in wf["run"][consumed:]:
+                if len(it) == 3:
+                    self.track_stereo(*it)
+                else:
+                    self.track_monocular(*it)
+        if self._pending:
+            pend, self._pending = self._pending, []
+            for it in pend:
+                if len(it) == 3:
+                    self.track_stereo(*it)
+                else:
+                    self.track_monocular(*it)
 
     def shutdown(self):
         self._flush_windows()
