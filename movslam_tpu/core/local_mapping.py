@@ -890,6 +890,10 @@ class LocalMapping:
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
             self.bf, K=K, P=P, O=O, MOPP=MOPP_,
         )
+        try:  # prefetch for the deferred commit (pulled at the next KF)
+            res_wire.copy_to_host_async()
+        except AttributeError:
+            pass
 
         # Pipelined commit: the solve was dispatched asynchronously; results
         # are pulled and written back when the NEXT keyframe arrives (or at
@@ -1122,6 +1126,13 @@ class LocalMapping:
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
             self.bf,
         )
+        # Prefetch: the result is committed one keyframe later; starting the
+        # host copy now lets the D2H transfer ride out the window of tracking
+        # in between instead of blocking the commit pull.
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
         self._deferred = {"out": out, "tri": tri_job, "ba": ba_job, "map": m}
 
     def poke_commit(self):

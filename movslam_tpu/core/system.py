@@ -324,6 +324,14 @@ class System:
             # its device carry, then replay the in-flight window. The
             # speculative window's compute overlaps this replay (and the
             # mapper work it triggers) — one host<->device sync per window.
+            # Start the in-flight wire's D2H copy NOW: it streams to the
+            # host (behind the ~15-75 MB/s tunnel link) while the mapper
+            # commit pull and the speculative dispatch below run, so the
+            # blocking pull in _replay_window finds it mostly done.
+            try:
+                self._wf["out"]["wire"].copy_to_host_async()
+            except AttributeError:
+                pass
             # Commit the previous keyframe's deferred mapper output first
             # (it computed during the in-flight window) so the snapshot the
             # speculative window tracks against is at most one KF stale.
@@ -591,9 +599,12 @@ class System:
         packed_w = wire[:o1].reshape(W, N, C)
         scal_w = wire[o1:o2].reshape(W, N_SCALARS)
         visbits_w = wire[o2:o3].reshape(W, P // 32)
-        desc_w = np.ascontiguousarray(
+        # The wire carries descriptors for the LAST frame only (the
+        # KF-aligned schedule puts the keyframe there); a mid-window KF
+        # pulls its row from the device-resident side channel.
+        desc_last = np.ascontiguousarray(
             wire[o3:], np.float32
-        ).view(np.uint32).reshape(W, N, 8)
+        ).view(np.uint32).reshape(N, 8)
 
         poses = []
         consumed = 0
@@ -634,11 +645,17 @@ class System:
             # new points similarly. Only rewind (re-dispatch the remainder
             # against a fresh snapshot) when the margin is thin.
             if tr.last_kf_frame_id == frame.id:
-                # Descriptors ride the result wire; archive them on the new
-                # keyframe (checkpoint parity) — no extra pull.
+                # Descriptors: the wire carries the last frame's (the
+                # KF-aligned slot); archive them on the new keyframe
+                # (checkpoint parity). A mid-window KF reads the device
+                # side channel — one extra pull on the rare schedule miss.
                 kf = tr.last_kf
                 if kf is not None and len(frame.cap_rows):
-                    kf.desc = desc_w[k][frame.cap_rows]
+                    dk = (
+                        desc_last if k == W - 1
+                        else np.asarray(out["desc_w"][k])
+                    )
+                    kf.desc = dk[frame.cap_rows]
                 # Stereo and young maps always rewind (stale-snapshot frames
                 # measurably degrade the gauge while it is still forming).
                 # Mature mono keeps consuming: windows are KF-ALIGNED

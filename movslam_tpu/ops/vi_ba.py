@@ -39,6 +39,7 @@ from .ba import (
 )
 from .imu import GRAVITY, bias_corrected_deltas
 from .lie import se3_compose, se3_exp, so3_log
+from .linalg import solve_psd
 
 # Per-edge cap on the whitening scale (see _edge_residual).
 SQRT_INFO_CAP = 1e3
@@ -274,7 +275,9 @@ def vi_ba_solve(
         H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         b = b * m
 
-        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(K * 15), b).reshape(K, 15)
+        # SPD Cholesky solve; NaNs on a borderline system zero dx below and
+        # the LM acceptance rejects the (no-op) step, raising lambda.
+        dx = solve_psd(H + 1e-6 * jnp.eye(K * 15), b).reshape(K, 15)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
         dxi = dx[:, :6]

@@ -155,11 +155,14 @@ def tracked_window_step(
             packed_w.reshape(-1),                       # W*N*packed_cols
             scalars_w.reshape(-1),                      # W*16
             visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
-            # Per-frame descriptors ride the wire as f32-bitcast u32 words:
-            # keyframe creation archives them host-side, and a separate
-            # per-KF pull would cost a full RTT (~40 ms) — more than the
-            # ~2-8 ms these extra bytes add to every window pull.
-            jax.lax.bitcast_convert_type(desc_w, jnp.float32).reshape(-1),
+            # LAST frame's descriptors ride the wire as f32-bitcast u32
+            # words: windows are KF-aligned (_collect_run ends them on the
+            # predicted keyframe), so the KF archive needs exactly this
+            # frame. All W frames' descriptors on the wire cost 524 KB of
+            # the scarce ~15-75 MB/s D2H link (over half the pull); a
+            # mid-window KF (schedule miss) pulls its row from the desc_w
+            # side channel instead — a rare extra RTT.
+            jax.lax.bitcast_convert_type(desc_w[-1], jnp.float32).reshape(-1),
         ]
     )
     return {

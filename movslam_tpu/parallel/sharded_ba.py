@@ -20,6 +20,7 @@ from jax import shard_map
 
 from ..ops.ba import _residual_jacobians, _total_cost
 from ..ops.lie import se3_compose, se3_exp
+from ..ops.linalg import inv3x3, solve_psd
 
 LM_ITERS = 10
 
@@ -51,40 +52,29 @@ def _local_reduced_system(kf_R, kf_t, free, mp_pos, mp_valid,
     Hll = jax.ops.segment_sum(jnp.einsum("oij,oik->ojk", Jlw, Jl), obs_mp, num_segments=Ploc)
     W = jnp.einsum("oij,oik->ojk", Jpw, Jl)
 
-    Hll_inv = jnp.linalg.inv(Hll + (lam + 1e-8) * eye3[None])
+    Hll_inv = inv3x3(Hll + (lam + 1e-8) * eye3[None], eps=1e-30)
 
     Hinv_gl = jnp.einsum("pij,pj->pi", Hll_inv, g_l)
     rhs = g_p - jax.ops.segment_sum(
         jnp.einsum("oij,oj->oi", W, Hinv_gl[obs_mp]), obs_kf, num_segments=K
     )
 
-    # Schur pair accumulation over this shard's points.
-    MOPP = obs_by_point.shape[1]
+    # Schur pair accumulation over this shard's points: factored one-hot
+    # einsums (see ops/ba.schur_reduce — the MOPP^2 scatter-add loop this
+    # replaces serialized thousands of tiny kernels on the scalar core).
     W_pad = jnp.concatenate([W, jnp.zeros((1, 6, 3))], axis=0)
     kf_pad = jnp.concatenate([obs_kf, jnp.zeros((1,), obs_kf.dtype)], axis=0)
     Wp = W_pad[obs_by_point]
     kfp = kf_pad[obs_by_point]
     pad_mask = (obs_by_point < O).astype(jnp.float32)
+    oh = jax.nn.one_hot(kfp, K, dtype=jnp.float32) * pad_mask[..., None]
     Yp = jnp.einsum("pmij,pjk->pmik", Wp, Hll_inv)
-
-    S = jnp.zeros((K * K, 6, 6))
+    U = jnp.einsum("pma,pmik->paik", oh, Yp)
+    V = jnp.einsum("pmb,pmjk->pbjk", oh, Wp)
+    S = -jnp.einsum(
+        "paik,pbjk->abij", U, V, preferred_element_type=jnp.float32
+    ).reshape(K * K, 6, 6)
     S = S.at[jnp.arange(K) * K + jnp.arange(K)].add(Hpp)
-
-    def pair_body(m, S):
-        Ym = jax.lax.dynamic_index_in_dim(Yp, m, axis=1, keepdims=False)
-        km = jax.lax.dynamic_index_in_dim(kfp, m, axis=1, keepdims=False)
-        mm = jax.lax.dynamic_index_in_dim(pad_mask, m, axis=1, keepdims=False)
-
-        def inner(n, S):
-            Wn = jax.lax.dynamic_index_in_dim(Wp, n, axis=1, keepdims=False)
-            kn = jax.lax.dynamic_index_in_dim(kfp, n, axis=1, keepdims=False)
-            mn = jax.lax.dynamic_index_in_dim(pad_mask, n, axis=1, keepdims=False)
-            blk = -jnp.einsum("pik,pjk->pij", Ym, Wn) * (mm * mn)[:, None, None]
-            return S.at[km * K + kn].add(blk)
-
-        return jax.lax.fori_loop(0, MOPP, inner, S)
-
-    S = jax.lax.fori_loop(0, MOPP, pair_body, S)
     S = S.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
     cost = _total_cost(chi2, obs_w)
     return S, rhs, Hll_inv, g_l, W, cost
@@ -130,7 +120,7 @@ def make_sharded_ba(mesh: Mesh, iters=LM_ITERS, axis="data"):
             lamI = lam * jnp.eye(K * 6)
             S = (S + lamI) * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
             b = rhs.reshape(-1) * m
-            dxi = jnp.linalg.solve(S + 1e-6 * jnp.eye(K * 6), b).reshape(K, 6)
+            dxi = solve_psd(S + 1e-6 * jnp.eye(K * 6), b).reshape(K, 6)
             dxi = jnp.where(jnp.isfinite(dxi), dxi, 0.0)
 
             Wt_dxi = jax.ops.segment_sum(
