@@ -492,6 +492,12 @@ class System:
         self.mapper.busy_frames = (
             3 if self.atlas.current.n_keyframes() < 8 else self.window
         )
+        # Land any finished deferred mapper work before snapshotting: after a
+        # rewind the next dispatch reaches here WITHOUT the in-flight branch's
+        # poke_commit, and would otherwise track against a snapshot missing
+        # the just-created keyframe's triangulations — the very staleness the
+        # rewind was meant to escape.
+        self.mapper.poke_commit()
         self._refresh_snapshot()
         snap = self._snapshot
         if snap is None:
@@ -665,13 +671,40 @@ class System:
                 # already at the loss gate (30 local-map inliers,
                 # Tracking.cc:930), where a fresh snapshot is the difference
                 # between tracking and losing the map.
+                # Staleness tolerance is map-maturity-dependent: young maps
+                # (and the frames right after their keyframes) sit close to
+                # the 30-inlier loss gate, so a thin post-KF margin rewinds;
+                # mature maps tolerate intra-window staleness down to a
+                # slimmer margin (rewinds cost ~2 RTTs each).
+                n_kfs_ = self.atlas.current.n_keyframes()
+                th_margin = 40 if n_kfs_ < 12 else 33
                 if k + 1 < W and (
                     stereo
-                    or self.atlas.current.n_keyframes() < 10
-                    or int(scal_w[k + 1, 13]) < 33
+                    or n_kfs_ < 10
+                    or int(scal_w[k + 1, 13]) < th_margin
                 ):
                     rewound = True
                     break
+            elif (
+                k + 1 < W
+                and 15 < int(scal[13])
+                < (40 if self.atlas.current.n_keyframes() < 12 else 33)
+                and self.mapper.cooldown > 1
+                and frame.id >= tr.last_kf_frame_id + 3
+            ):
+                # Thin local-map margin (gate is 30 inliers, Tracking.cc:930)
+                # with the next keyframe still frames away: the reference's
+                # mapper inserts KFs whenever idle (mMinFrames=0,
+                # Tracking.cc:137), so it would replenish the map NOW. Break
+                # the window, expire the cooldown so the next replayed frame
+                # keyframes immediately, and re-dispatch the remainder
+                # against the refreshed snapshot. Costs one dispatch cycle,
+                # only when margins are thin — the deterministic 8-frame KF
+                # cadence otherwise lets decaying tracks cross the loss gate
+                # mid-window.
+                self.mapper.cooldown = 0
+                rewound = True
+                break
 
         clean = consumed == W and tr.state == State.OK and not rewound
         if not clean:

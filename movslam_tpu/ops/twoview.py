@@ -46,7 +46,7 @@ def _essential_from_8pt(r1, r2):
     # lane (a batched SVD custom call) is skipped — scoring tolerates the
     # second-order manifold error, and the winning lane is projected during
     # the refit polish below.
-    E = smallest_nullvec(AtA).reshape(3, 3)
+    E = smallest_nullvec(AtA, iters=4).reshape(3, 3)
     return E / jnp.maximum(jnp.linalg.norm(E), 1e-12)
 
 
@@ -165,7 +165,7 @@ def reconstruct_two_views(
     def _refit(E, w):
         A = jnp.einsum("ni,nj->nij", x2, x1).reshape(-1, 9)
         AtA = (A * w[:, None]).T @ A
-        Er = smallest_nullvec(AtA).reshape(3, 3)
+        Er = smallest_nullvec(AtA, iters=4).reshape(3, 3)
         U, s, Vt = jnp.linalg.svd(Er)  # single 3x3: projection is cheap here
         return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0])) @ Vt
 
