@@ -37,7 +37,10 @@ def main():
     s.sensor = MONOCULAR
 
     stream = SyntheticStream(n_points=400, seed=42)
-    n_warm, n_timed = 40, 64
+    # Timed region long enough to average over the 8-frame window / keyframe
+    # cycle and the occasional thin-margin rewind; warmup runs the map past
+    # maturity (~10 KFs) so deferred mapping + KF-aligned windows are active.
+    n_warm, n_timed = 48, 160
     frames = [stream.frame(k) for k in range(n_warm + n_timed)]
 
     # Pipelined windowed drive: W-frame batches (the decoder's lookahead
