@@ -324,14 +324,6 @@ class System:
             # its device carry, then replay the in-flight window. The
             # speculative window's compute overlaps this replay (and the
             # mapper work it triggers) — one host<->device sync per window.
-            # Start the in-flight wire's D2H copy NOW: it streams to the
-            # host (behind the ~15-75 MB/s tunnel link) while the mapper
-            # commit pull and the speculative dispatch below run, so the
-            # blocking pull in _replay_window finds it mostly done.
-            try:
-                self._wf["out"]["wire"].copy_to_host_async()
-            except AttributeError:
-                pass
             # Commit the previous keyframe's deferred mapper output first
             # (it computed during the in-flight window) so the snapshot the
             # speculative window tracks against is at most one KF stale.
@@ -558,6 +550,16 @@ class System:
             has_stereo=stereo,
         )
         tr._pnp_key = out["key"]
+        # Prefetch the result wire at DISPATCH time: copy_to_host_async is
+        # non-blocking even while the computation is in flight (the D2H copy
+        # chains onto compute completion), so the transfer rides the window
+        # of host work between dispatch and replay and the blocking pull in
+        # _replay_window finds the bytes already host-resident (measured:
+        # 44 ms -> sub-ms on the tunneled link).
+        try:
+            out["wire"].copy_to_host_async()
+        except AttributeError:
+            pass
         # The carry for any subsequent dispatch is this window's device
         # output — whether that dispatch is speculative (pipelined) or the
         # per-frame path after a clean replay.
