@@ -40,8 +40,12 @@ def main():
     # Timed region long enough to average over the 8-frame window / keyframe
     # cycle and the occasional thin-margin rewind; warmup runs the map past
     # maturity (~10 KFs) so deferred mapping + KF-aligned windows are active.
-    n_warm, n_timed = 48, 160
-    frames = [stream.frame(k) for k in range(n_warm + n_timed)]
+    # THREE timed segments, median reported: the tunneled TPU link shows
+    # transient multi-second stalls (measured 41 -> 20 fps run-to-run on
+    # identical code); the median filters single-segment hiccups while still
+    # reflecting sustained throughput.
+    n_warm, n_timed, n_seg = 48, 160, 3
+    frames = [stream.frame(k) for k in range(n_warm + n_seg * n_timed)]
 
     # Pipelined windowed drive: W-frame batches (the decoder's lookahead
     # queue always holds a window, VideoDecoder.cc:163-368) through the
@@ -59,16 +63,21 @@ def main():
         k += W
     system.track_monocular_batch([], flush=True)
 
-    t0 = time.perf_counter()
-    while k < n_warm + n_timed:
-        system.track_monocular_batch(items[k : k + W], flush=False)
-        k += W
-    system.track_monocular_batch([], flush=True)
-    dt = time.perf_counter() - t0
-    n_timed = k - n_warm
+    seg_fps = []
+    for s in range(n_seg):
+        seg_end = n_warm + (s + 1) * n_timed
+        t0 = time.perf_counter()
+        while k < seg_end:
+            system.track_monocular_batch(items[k : k + W], flush=False)
+            k += W
+        system.track_monocular_batch([], flush=True)
+        dt = time.perf_counter() - t0
+        seg_fps.append(n_timed / dt)
     system.shutdown()
 
-    fps = n_timed / dt
+    seg_fps.sort()
+    fps = seg_fps[len(seg_fps) // 2]
+    dt = n_timed / fps
     lost = system.get_total_lost()
     baseline_fps = 30.0  # reference real-time rate on CPU
     print(
@@ -79,6 +88,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / baseline_fps, 3),
                 "extra": {
+                    "segment_fps": [round(f, 2) for f in seg_fps],
                     "mean_track_ms": round(1e3 * dt / n_timed, 2),
                     "lost_frames": lost,
                     "keyframes": system.atlas.current.n_keyframes(),

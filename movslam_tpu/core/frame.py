@@ -16,9 +16,9 @@ class Frame:
     __slots__ = (
         "id", "timestamp", "pts", "pts_raw", "track_ids", "desc", "ages",
         "R", "t",
-        "mappoints", "outlier", "image", "reference_kf", "lost", "pose_set",
-        "depth_right", "uright", "track_index", "cap_rows",
-        "_fused_matched", "_fused_inlier", "_fused_midx",
+        "_mappoints", "outlier", "image", "reference_kf", "lost", "pose_set",
+        "depth_right", "uright", "_track_index", "cap_rows",
+        "_fused_matched", "_fused_inlier", "_fused_midx", "_lazy_src",
     )
 
     _next_id = itertools.count()
@@ -37,6 +37,7 @@ class Frame:
         self.lost = False
         self.depth_right = None
         self.uright = None
+        self._lazy_src = None
 
         if track_state is not None:
             d = track_state.to_numpy()
@@ -59,16 +60,57 @@ class Frame:
             self.cap_rows = np.zeros((0,), np.int64)
 
         n = len(self.track_ids)
-        self.mappoints = [None] * n
+        self._mappoints = [None] * n
         self.outlier = np.zeros(n, bool)
-        # trackId -> slot (first occurrence wins, like mvVFMap's map::insert)
-        self.track_index = {}
-        for i, tid in enumerate(self.track_ids):
-            self.track_index.setdefault(int(tid), i)
+        self._track_index = None  # built lazily (slot_of_track)
 
     @property
     def n(self):
         return len(self.track_ids)
+
+    # --- lazy views ------------------------------------------------------
+    # Per-frame Python loops dominate replay cost on a single-core host; the
+    # trackId->slot dict and the map-point object list are built only when a
+    # consumer actually touches them (legacy paths, keyframe creation) —
+    # windowed-replay frames that never become keyframes skip both.
+    @property
+    def track_index(self):
+        """trackId -> slot (first occurrence wins, like mvVFMap map::insert)."""
+        if self._track_index is None:
+            idx = {}
+            for i, tid in enumerate(self.track_ids):
+                idx.setdefault(int(tid), i)
+            self._track_index = idx
+        return self._track_index
+
+    @track_index.setter
+    def track_index(self, v):
+        self._track_index = v
+
+    @property
+    def mappoints(self):
+        if self._mappoints is None:
+            n = len(self.track_ids)
+            lst = [None] * n
+            if self._lazy_src is not None:
+                mps, midx, mask = self._lazy_src
+                for i in np.flatnonzero(mask):
+                    mp = mps[int(midx[i])]
+                    if not mp.bad:
+                        lst[i] = mp
+            self._mappoints = lst
+        return self._mappoints
+
+    @mappoints.setter
+    def mappoints(self, v):
+        self._mappoints = v
+
+    def set_lazy_matches(self, snap_mps, midx, mask):
+        """Defer map-point object association (fused windowed path): the
+        object list materializes only if this frame becomes a keyframe or a
+        legacy path touches it."""
+        self._lazy_src = (snap_mps, midx, mask)
+        self._mappoints = None
 
     @staticmethod
     def from_packed(packed, timestamp=0.0, image=None, fid=None,
@@ -98,11 +140,8 @@ class Frame:
         f.desc = None
         f.cap_rows = rows
         n = len(rows)
-        f.mappoints = [None] * n
+        f._mappoints = [None] * n
         f.outlier = np.zeros(n, bool)
-        f.track_index = {}
-        for i, tid in enumerate(f.track_ids):
-            f.track_index.setdefault(int(tid), i)
         # per-slot fused results
         fl = flags[rows]
         f._fused_matched = (fl & 1) != 0

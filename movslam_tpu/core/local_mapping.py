@@ -485,13 +485,17 @@ class LocalMapping:
             self._map_point_culling(m)
             deferred = self.defer_mapping and m.n_keyframes() >= self.defer_min_kfs
             if deferred:
-                from ..ops.mapper_step import TRI_CAP
+                from ..ops.mapper_step import MAPPER_SMALL, TRI_CAP
 
                 tri_job = self._prepare_triangulation(m, cap=TRI_CAP)
+                tri_fits_small = (
+                    tri_job is None
+                    or len(tri_job["cand"]) <= MAPPER_SMALL["C"]
+                )
                 if not self.queue:
                     self._search_in_neighbors(m)
                 ba_job = (
-                    self._prepare_local_ba(m)
+                    self._prepare_local_ba(m, small_ok=tri_fits_small)
                     if not self.queue and m.n_keyframes() > 2
                     else None
                 )
@@ -818,17 +822,23 @@ class LocalMapping:
             m.mappoints.get(int(mid)) for mid in kf1.mp_ids if mid >= 0
         ]
         own_points = [mp for mp in own_points if mp is not None and not mp.bad]
-        for kf2 in targets:
-            fuse(kf2, own_points, m, self.camera)
+        # One SoA build for the whole target sweep (core/matcher.py
+        # FuseCandidates): per-target object->array passes dominated the
+        # mapper's host cost on a single-core machine.
+        from .matcher import FuseCandidates
 
-        fuse_candidates = {}
+        own_cand = FuseCandidates(own_points)
         for kf2 in targets:
-            for mid in kf2.mp_ids:
-                if mid >= 0 and mid not in fuse_candidates:
-                    mp = m.mappoints.get(int(mid))
-                    if mp is not None and not mp.bad:
-                        fuse_candidates[mid] = mp
-        fuse(kf1, list(fuse_candidates.values()), m, self.camera)
+            fuse(kf2, own_cand, m, self.camera)
+
+        if targets:
+            all_mids = np.unique(np.concatenate([kf2.mp_ids for kf2 in targets]))
+            fuse_candidates = [
+                mp
+                for mp in (m.mappoints.get(int(mid)) for mid in all_mids if mid >= 0)
+                if mp is not None and not mp.bad
+            ]
+            fuse(kf1, fuse_candidates, m, self.camera)
 
         refresh = [
             mp for mp in (m.mappoints.get(int(mid)) for mid in kf1.mp_ids if mid >= 0)
@@ -1049,12 +1059,16 @@ class LocalMapping:
                 kf.bias_g = bg_out[i]
                 kf.bias_a = ba_out[i]
 
-    def _prepare_local_ba(self, m):
-        """Assemble the local-BA problem at the PINNED mapper shapes
-        (ops/mapper_step: one compiled variant — bucket churn previously cost
-        a re-trace + compile-cache load per new shape mid-run). Same problem
-        selection as _local_ba (Optimizer.cc:461-841)."""
-        from ..ops.mapper_step import BA_K, BA_MOPP, BA_O, BA_P
+    def _prepare_local_ba(self, m, small_ok=False):
+        """Assemble the local-BA problem at one of the TWO pinned mapper size
+        classes (ops/mapper_step MAPPER_SMALL/MAPPER_BIG — free-running bucket
+        churn previously cost a re-trace + compile-cache load per new shape
+        mid-run, so exactly two variants exist). Same problem selection as
+        _local_ba (Optimizer.cc:461-841). small_ok gates the SMALL class on
+        the triangulation side fitting too (one size per dispatch)."""
+        from ..ops.mapper_step import (
+            BA_K, BA_MOPP, BA_O, BA_P, MAPPER_SMALL,
+        )
 
         kf0 = self.current_kf
         local = [kf0] + kf0.best_covisible(m, MAX_OPT_KF - 1)
@@ -1083,9 +1097,24 @@ class LocalMapping:
             return None  # gauge-free (Optimizer.cc:525-529)
 
         kfs = local + fixed
+        # Size class: SMALL only when every axis surely fits. The obs count
+        # is bounded ABOVE by the raw per-KF slot counts (the mopp cap and
+        # the local-point join only shrink it), so the test is conservative
+        # — a borderline problem takes the BIG program, never a truncation.
+        sm = MAPPER_SMALL
+        small = (
+            small_ok
+            and len(kfs) <= sm["K"]
+            and len(mps) <= sm["P"]
+            and sum(int(np.count_nonzero(kf.mp_ids >= 0)) for kf in kfs)
+            <= sm["O"]
+        )
+        K = sm["K"] if small else BA_K
+        P_pin = sm["P"] if small else BA_P
+        O_pin = sm["O"] if small else BA_O
         prob = assemble_ba_problem(
-            kfs, len(local), mps, m.init_kf_id, BA_K,
-            mopp=BA_MOPP, p_lo=BA_P, p_hi=BA_P, o_lo=BA_O, o_hi=BA_O,
+            kfs, len(local), mps, m.init_kf_id, K,
+            mopp=BA_MOPP, p_lo=P_pin, p_hi=P_pin, o_lo=O_pin, o_hi=O_pin,
         )
         if prob is None:
             return None
@@ -1093,6 +1122,7 @@ class LocalMapping:
         return {
             "wire": wire, "shapes": shapes, "obs_meta": prob["obs_meta"],
             "kfs": kfs, "mps": prob["mps"], "kf_fixed": prob["kf_fixed"],
+            "small": small,
         }
 
     def _dispatch_mapper_step(self, tri_job, ba_job, m):
@@ -1101,10 +1131,20 @@ class LocalMapping:
         keyframe (process_one -> _commit_deferred), fully overlapping the
         tracking of the frames in between."""
         from ..ops.mapper_step import (
-            BA_K, BA_MOPP, BA_O, BA_P, TRI_CAP, mapper_step_wire,
+            BA_MOPP, MAPPER_BIG, MAPPER_SMALL, mapper_step_wire,
         )
 
-        tri_wire = np.zeros((TRI_CAP + 1, 16), np.float32)
+        # One size class per dispatch: the BA prep already folded the tri
+        # side into its SMALL decision; without a BA job the tri count alone
+        # picks the class.
+        if ba_job is not None:
+            size = MAPPER_SMALL if ba_job.get("small") else MAPPER_BIG
+        else:
+            n_tri = len(tri_job["cand"]) if tri_job is not None else 0
+            size = MAPPER_SMALL if n_tri <= MAPPER_SMALL["C"] else MAPPER_BIG
+        C, K, P, O = size["C"], size["K"], size["P"], size["O"]
+
+        tri_wire = np.zeros((C + 1, 16), np.float32)
         if tri_job is not None:
             n = len(tri_job["cand"])
             tri_wire[0, 0:12] = np.asarray(tri_job["P1"], np.float32).reshape(-1)
@@ -1117,7 +1157,7 @@ class LocalMapping:
             ba_wire = ba_job["wire"]
         else:
             ba_wire = np.zeros(
-                BA_K * 14 + BA_P * 4 + BA_O * 6 + BA_P * BA_MOPP, np.float32
+                K * 14 + P * 4 + O * 6 + P * BA_MOPP, np.float32
             )
         cam = self.camera
         out = mapper_step_wire(
@@ -1125,6 +1165,7 @@ class LocalMapping:
             jnp.asarray(ba_wire),
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
             self.bf,
+            C=C, K=K, P=P, O=O,
         )
         # Prefetch: the result is committed one keyframe later; starting the
         # host copy now lets the D2H transfer ride out the window of tracking
@@ -1133,9 +1174,11 @@ class LocalMapping:
             out.copy_to_host_async()
         except AttributeError:
             pass
-        self._deferred = {"out": out, "tri": tri_job, "ba": ba_job, "map": m}
+        self._deferred = {
+            "out": out, "tri": tri_job, "ba": ba_job, "map": m, "size": size,
+        }
 
-    def poke_commit(self):
+    def poke_commit(self, blocking=True):
         """Land any finished deferred mapper work into the host graph NOW.
 
         The windowed drive calls this right before it (re)publishes the map
@@ -1144,23 +1187,40 @@ class LocalMapping:
         committing here keeps speculation at most ONE keyframe stale
         (without it, spec windows track against a snapshot missing the last
         TWO keyframes' triangulations — measured inlier decay spirals into
-        tracking loss)."""
-        self._commit_pending_ba()
-        self._commit_deferred()
+        tracking loss).
 
-    def _commit_deferred(self):
+        blocking=False commits only if the device result has landed
+        (jax.Array.is_ready): with the KF-aligned window schedule the mapper
+        job dispatches at a window's LAST frame, so a blocking poke at the
+        very next dispatch would stall ~the whole mapper program (measured
+        ~110 ms/KF); the unfinished job then simply commits at the next
+        keyframe's process_one, exactly one window later — the reference's
+        own mapper-thread latency (LocalMapping.cc:50-115)."""
+        self._commit_pending_ba()
+        self._commit_deferred(blocking=blocking)
+
+    def _commit_deferred(self, blocking=True):
         """Pull + commit the previous keyframe's fused mapper result: insert
         the gated triangulations, then write back the BA solution."""
         d = self._deferred
         if d is None:
             return
+        if not blocking:
+            try:
+                if not d["out"].is_ready():
+                    return
+            except AttributeError:
+                pass
         self._deferred = None
         m = d["map"]
         if m is not self.atlas.current:
             return  # map was reset/switched since dispatch
-        from ..ops.mapper_step import split_mapper_wire
+        from ..ops.mapper_step import MAPPER_BIG, split_mapper_wire
 
-        X, out_kf, out_mp, out_obs = split_mapper_wire(d["out"])  # ONE pull
+        size = d.get("size", MAPPER_BIG)
+        X, out_kf, out_mp, out_obs = split_mapper_wire(  # ONE pull
+            d["out"], C=size["C"], K=size["K"], P=size["P"], O=size["O"],
+        )
         with self.map_lock:
             if d["tri"] is not None:
                 self._commit_triangulation(d["tri"], X.astype(np.float64), m)

@@ -180,13 +180,33 @@ def update_normals_batch(mps, mp_map):
 
 class KeyFrame:
     __slots__ = (
-        "id", "frame_id", "timestamp", "R", "t", "track_ids", "pts", "desc",
+        "id", "frame_id", "timestamp", "R", "t", "track_ids", "pts", "_desc",
+        "_desc_thunk",
         "ages", "mp_ids", "image", "covis", "parent", "children", "bad",
         "map_id", "prev_kf", "next_kf", "depth_right", "uright", "Tcp",
         "velocity", "bias_g", "bias_a",
     )
 
     _next_id = itertools.count()
+
+    # Descriptors are consumed only by checkpointing; the windowed drive
+    # archives them lazily (a device-side reference materialized on first
+    # access) so a mid-window keyframe never blocks the replay on a D2H pull.
+    @property
+    def desc(self):
+        if self._desc is None and self._desc_thunk is not None:
+            self._desc = self._desc_thunk()
+            self._desc_thunk = None
+        return self._desc
+
+    @desc.setter
+    def desc(self, v):
+        self._desc = v
+        self._desc_thunk = None
+
+    def set_desc_thunk(self, fn):
+        self._desc = None
+        self._desc_thunk = fn
 
     def __init__(self, frame, map_id=0):
         """Build from a tracked Frame (core.frame.Frame)."""

@@ -89,17 +89,50 @@ def search_for_triangulation(kf1, kf2):
     return ia, ib
 
 
+class FuseCandidates:
+    """Precomputed SoA view of a fuse candidate set (MOVMatcher.h:170-277).
+
+    Building position/normal/distance arrays from MapPoint objects costs a
+    Python attribute pass per point; SearchInNeighbors fuses the SAME point
+    set into ~30 target keyframes, so the arrays are built once here and the
+    per-keyframe work is pure vectorized numpy + a survivors-only loop."""
+
+    __slots__ = ("mps", "pos", "normal", "mind", "maxd", "tids")
+
+    def __init__(self, mappoints):
+        self.mps = [mp for mp in mappoints if mp is not None and not mp.bad]
+        n = len(self.mps)
+        if n:
+            self.pos = np.stack([mp.pos for mp in self.mps])
+            self.normal = np.stack([mp.normal for mp in self.mps])
+            self.mind = np.fromiter((mp.min_dist for mp in self.mps), float, n)
+            self.maxd = np.fromiter((mp.max_dist for mp in self.mps), float, n)
+            self.tids = np.fromiter((mp.track_id for mp in self.mps), np.int64, n)
+        else:
+            self.pos = np.zeros((0, 3))
+            self.normal = np.zeros((0, 3))
+            self.mind = np.zeros(0)
+            self.maxd = np.zeros(0)
+            self.tids = np.zeros(0, np.int64)
+
+
 def fuse(kf, mappoints, mp_map, camera):
     """Project candidate map points into kf; merge duplicates by track id
     (MOVMatcher.h:170-277). Projection/distance/angle gates are vectorized;
-    only survivors touch the graph. Returns number fused."""
-    cand = [mp for mp in mappoints if mp is not None and not mp.bad and kf.id not in mp.obs]
-    if not cand:
+    only survivors touch the graph. Returns number fused.
+
+    mappoints: a list of MapPoints or a prebuilt FuseCandidates."""
+    cand = (
+        mappoints
+        if isinstance(mappoints, FuseCandidates)
+        else FuseCandidates(mappoints)
+    )
+    if not cand.mps:
         return 0
     R, t = kf.pose()
     Ow = kf.center()
 
-    pos = np.stack([mp.pos for mp in cand])
+    pos = cand.pos
     pc = pos @ R.T + t
     z = pc[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -107,28 +140,32 @@ def fuse(kf, mappoints, mp_map, camera):
         v = camera.fy * pc[:, 1] / z + camera.cy
     po = pos - Ow
     dist = np.linalg.norm(po, axis=1)
-    normal = np.stack([mp.normal for mp in cand])
-    mind = np.fromiter((mp.min_dist for mp in cand), float, len(cand))
-    maxd = np.fromiter((mp.max_dist for mp in cand), float, len(cand))
     ok = (
         (z >= 0.0)
         & (u >= 0) & (u < camera.width)
         & (v >= 0) & (v < camera.height)
-        & (dist >= mind) & (dist <= maxd)
-        & (np.einsum("ij,ij->i", po, normal) >= 0.5 * dist)  # < 60 deg
+        & (dist >= cand.mind) & (dist <= cand.maxd)
+        & (np.einsum("ij,ij->i", po, cand.normal) >= 0.5 * dist)  # < 60 deg
     )
     if not ok.any():
         return 0
 
-    kf_slots_by_track = {int(tid): s for s, tid in enumerate(kf.track_ids)}
+    # Vectorized trackId -> kf slot join (first occurrence wins, matching
+    # mvVFMap's map::insert semantics).
+    if len(kf.track_ids) == 0:
+        return 0
+    order = np.argsort(kf.track_ids, kind="stable")
+    sorted_ids = kf.track_ids[order]
+    p = np.minimum(np.searchsorted(sorted_ids, cand.tids), len(sorted_ids) - 1)
+    slot_arr = np.where(sorted_ids[p] == cand.tids, order[p], -1)
+    ok &= slot_arr >= 0
+
     fused = 0
     for k in np.flatnonzero(ok):
-        mp = cand[k]
-        if mp.bad:
+        mp = cand.mps[k]
+        if mp.bad or kf.id in mp.obs:
             continue
-        slot = kf_slots_by_track.get(mp.track_id, -1)
-        if slot < 0:
-            continue
+        slot = int(slot_arr[k])
         existing_id = kf.mp_ids[slot]
         if existing_id >= 0:
             existing = mp_map.mappoints.get(int(existing_id))

@@ -23,14 +23,48 @@ class MapSnapshot:
     The device image is ONE fused (P, 12) f32 upload (one RPC per republish
     on remote TPUs): cols 0:10 = pack [pos(3) normal(3) mind maxd valid ref],
     col 10 = sorted track ids (i32 bits), col 11 = sort permutation (exact as
-    f32 below 2^24). tid_sorted/perm/pack views are device-side slices."""
+    f32 below 2^24). tid_sorted/perm/pack views are device-side slices.
 
-    __slots__ = ("fused", "mps", "version")
+    Host-side stat accumulators: the per-frame IncreaseVisible/IncreaseFound
+    bookkeeping (Tracking.cc:913-929, 1143-1147) is accumulated VECTORIZED
+    into per-row arrays and flushed into the MapPoint objects once per
+    keyframe (before MapPointCulling reads found_ratio) — per-frame Python
+    attribute loops over hundreds of objects dominate replay cost on a
+    single-core host."""
 
-    def __init__(self, fused, mps=None, version=0):
+    __slots__ = ("fused", "mps", "version", "obs_pos", "vis_acc", "found_acc")
+
+    def __init__(self, fused, mps=None, version=0, obs_pos=None):
         self.fused = fused  # (P, 12) single-upload image; split INSIDE jit
         self.mps = mps  # row -> MapPoint (host)
         self.version = version
+        n = len(mps) if mps is not None else 0
+        # n_obs() > 0 at build time (points become bad/gain obs only at
+        # mapper commits, which bump the change index and force a rebuild).
+        self.obs_pos = (
+            obs_pos if obs_pos is not None else np.zeros(n, bool)
+        )
+        self.vis_acc = np.zeros(n, np.int64)
+        self.found_acc = np.zeros(n, np.int64)
+
+    def flush_stats(self):
+        """Apply accumulated visible/found counts to the MapPoint objects.
+        Idempotent (accumulators zero after flush); call before any
+        found_ratio consumer (MapPointCulling) runs."""
+        if self.mps is None:
+            return
+        vis_rows = np.flatnonzero(self.vis_acc)
+        for j in vis_rows:
+            mp = self.mps[j]
+            if not mp.bad:
+                mp.n_visible += int(self.vis_acc[j])
+        found_rows = np.flatnonzero(self.found_acc)
+        for j in found_rows:
+            mp = self.mps[j]
+            if not mp.bad:
+                mp.n_found += int(self.found_acc[j])
+        self.vis_acc[:] = 0
+        self.found_acc[:] = 0
 
 
 def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
@@ -79,8 +113,10 @@ def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
     fused[:, 0:10] = pack
     fused[:, 10] = tid_sorted.view(np.float32)  # i32 bits
     fused[:, 11] = order  # exact below 2^24
+    obs_pos = np.fromiter((len(mp.obs) > 0 for mp in mps), bool, n)
     return MapSnapshot(
         jnp.asarray(fused),
         mps=mps,
         version=m.change_index,
+        obs_pos=obs_pos,
     )

@@ -70,6 +70,9 @@ class System:
         # KF-aligned schedule stays in phase). See _batch_drive.
         self._wf = None
         self._pending = []
+        # Optional sub-stage profiling accumulator (tools/profile_drive.py):
+        # set to a defaultdict(float) to collect per-stage seconds.
+        self._prof = None
         # Fused one-dispatch frame path (ops/frame_step); legacy per-stage
         # path remains for init/loss states and as a fallback.
         self.fused_frontend = True
@@ -174,6 +177,8 @@ class System:
         from .snapshot import build_snapshot
 
         with self.mapper.map_lock:
+            if self._snapshot is not None:
+                self._snapshot.flush_stats()
             self._snapshot = build_snapshot(m, tr.reference_kf)
         self._snapshot_key = key
 
@@ -435,6 +440,9 @@ class System:
         # window straddles it; accept (staleness is W-1 frames, the
         # no-rewind replay tolerates it and the next window realigns).
         run = run[:L]
+        if self._prof is not None:
+            o0 = offs[0] if offs else -1
+            self._prof[f"pred_kf_{o0}_len_{len(run)}_spec_{int(speculative)}"] += 1
         return run if len(run) >= 2 else None
 
     def _absorb_imu(self, items):
@@ -467,6 +475,9 @@ class System:
         import jax.numpy as jnp
         from ..ops.window_step import tracked_window_step
 
+        prof = self._prof
+        _t = time.perf_counter
+        t0 = _t()
         stereo = len(run[0]) == 3
         tr = self.tracking
         # Windowed drive: deterministic frame-count mapper throttle (the
@@ -494,6 +505,9 @@ class System:
         snap = self._snapshot
         if snap is None:
             return None
+        if prof is not None:
+            prof["disp_commit_snap"] += _t() - t0
+            t0 = _t()
 
         mvks = []
         n_mvs = None
@@ -505,12 +519,18 @@ class System:
             mvks.append(np.concatenate([mvk, trailer]))
             n_mvs = m if n_mvs is None else n_mvs
             assert m == n_mvs, "mixed MV capacities within a window"
+        if prof is not None:
+            prof["disp_pack_host"] += _t() - t0
+            t0 = _t()
         mvk_stack = jnp.asarray(np.stack(mvks))
         imgs_dev = jnp.asarray(np.stack([it[1].im_gray for it in run]))
         imgs_right = (
             jnp.asarray(np.stack([it[2].im_gray for it in run]))
             if stereo else None
         )
+        if prof is not None:
+            prof["disp_upload"] += _t() - t0
+            t0 = _t()
 
         if carry is None:
             prev_state = self._prev_state
@@ -549,6 +569,9 @@ class System:
             has_dist=self._has_dist,
             has_stereo=stereo,
         )
+        if prof is not None:
+            prof["disp_jit_call"] += _t() - t0
+            t0 = _t()
         tr._pnp_key = out["key"]
         # Prefetch the result wire at DISPATCH time: copy_to_host_async is
         # non-blocking even while the computation is in flight (the D2H copy
@@ -576,6 +599,8 @@ class System:
         else:
             start, cool, lastkf = carry["sched_exit"]
         _, cool_x, lastkf_x = self._sim_kf_schedule(start, cool, lastkf, len(run))
+        if prof is not None:
+            prof["disp_tail"] += _t() - t0
         return {
             "out": out, "run": run, "snap": snap, "imgs_dev": imgs_dev,
             "stereo": stereo, "n_mvs": n_mvs,
@@ -591,6 +616,8 @@ class System:
         from ..ops.frame_step import N_SCALARS, packed_cols, unpack_bits_np
         from .trackstate import TrackState
 
+        prof = self._prof
+        _t = time.perf_counter
         t0 = time.perf_counter()
         out, run, snap, stereo = wf["out"], wf["run"], wf["snap"], wf["stereo"]
         imgs_dev = wf["imgs_dev"]
@@ -599,6 +626,8 @@ class System:
 
         C = packed_cols(self._has_dist, stereo)
         wire = np.asarray(out["wire"])
+        if prof is not None:
+            prof["rep_wire_pull"] += _t() - t0
         N = self.extractor.capacity
         P = snap.fused.shape[0]
         o1 = W * N * C
@@ -614,16 +643,25 @@ class System:
             wire[o3:], np.float32
         ).view(np.uint32).reshape(N, 8)
 
+        if prof is not None:
+            prof["rep_pre"] += _t() - t0
         poses = []
         consumed = 0
         rewound = False
+        t_it = _t()
         for k in range(W):
+            if prof is not None:
+                prof["rep_loop_tail"] += _t() - t_it
+                t_it = _t()
             ts, smv = run[k][0], run[k][1]
             scal = scal_w[k]
+            t1 = _t()
             frame = Frame.from_packed(
                 packed_w[k], timestamp=ts, image=smv.im_gray,
                 fid=self.image_count, has_dist=self._has_dist, stereo=stereo,
             )
+            if prof is not None:
+                prof["rep_from_packed"] += _t() - t1
             host_out = {
                 "R": scal[0:9].reshape(3, 3).astype(np.float64),
                 "t": scal[9:12].astype(np.float64),
@@ -632,7 +670,13 @@ class System:
                 "ok": scal[14] > 0,
                 "snap_visible": unpack_bits_np(visbits_w[k], P),
             }
+            if prof is not None:
+                prof["rep_hostout"] += _t() - t_it
+            t1 = _t()
             tr.track_fused(frame, host_out, snap)
+            if prof is not None:
+                prof["rep_track_fused"] += _t() - t1
+                t_it = _t()
             self.mapper.tick()
             self.image_count += 1
             consumed = k + 1
@@ -657,13 +701,30 @@ class System:
                 # KF-aligned slot); archive them on the new keyframe
                 # (checkpoint parity). A mid-window KF reads the device
                 # side channel — one extra pull on the rare schedule miss.
+                t2 = _t()
                 kf = tr.last_kf
                 if kf is not None and len(frame.cap_rows):
-                    dk = (
-                        desc_last if k == W - 1
-                        else np.asarray(out["desc_w"][k])
-                    )
-                    kf.desc = dk[frame.cap_rows]
+                    if k == W - 1:
+                        kf.desc = desc_last[frame.cap_rows]
+                    else:
+                        # Mid-window KF (schedule miss): archive descriptors
+                        # LAZILY — a device-side slice with an async D2H copy
+                        # kicked off now; materialized only if a consumer
+                        # (checkpoint save) reads them. A blocking pull here
+                        # measured ~100 ms on the tunneled link.
+                        dk_dev = out["desc_w"][k]
+                        try:
+                            dk_dev.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        rows = frame.cap_rows
+                        kf.set_desc_thunk(
+                            lambda d=dk_dev, r=rows: np.asarray(d)[r]
+                        )
+                if prof is not None:
+                    prof["rep_kf_desc"] += _t() - t2
+                    prof["n_kf_last" if k == W - 1 else "n_kf_mid"] += 1
+                    prof[f"kf_at_{k}_of_{W}"] += 1
                 # Stereo and young maps always rewind (stale-snapshot frames
                 # measurably degrade the gauge while it is still forming).
                 # Mature mono keeps consuming: windows are KF-ALIGNED
@@ -708,6 +769,8 @@ class System:
                 rewound = True
                 break
 
+        if prof is not None:
+            prof["rep_loop_tail"] += _t() - t_it
         clean = consumed == W and tr.state == State.OK and not rewound
         if not clean:
             # Rewind the device track state to the last consumed frame —
@@ -877,6 +940,8 @@ class System:
 
     def shutdown(self):
         self._flush_windows()
+        if self._snapshot is not None:
+            self._snapshot.flush_stats()
         if self.async_mapping:
             self.mapper.stop_thread()
         self.mapper.spin(final=True)

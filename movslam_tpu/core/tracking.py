@@ -176,20 +176,28 @@ class Tracking:
             else:
                 self.velocity = None
 
-            # Clean unobserved VO matches (Tracking.cc:427-436).
-            for i, mp in enumerate(self.current.mappoints):
-                if mp is not None and mp.n_obs() < 1:
-                    self.current.outlier[i] = False
-                    self.current.mappoints[i] = None
+            # Clean unobserved VO matches (Tracking.cc:427-436). Lazy fused
+            # frames folded the n_obs>0 gate into their match mask already.
+            cur = self.current
+            if cur._mappoints is not None:
+                for i, mp in enumerate(cur._mappoints):
+                    if mp is not None and mp.n_obs() < 1:
+                        cur.outlier[i] = False
+                        cur._mappoints[i] = None
 
             if self._need_new_keyframe() and ok:
                 self._create_new_keyframe()
 
             # Drop outliers so the next frame won't use them
             # (Tracking.cc:459-463).
-            for i in range(self.current.n):
-                if self.current.mappoints[i] is not None and self.current.outlier[i]:
-                    self.current.mappoints[i] = None
+            if cur._mappoints is not None:
+                for i in range(cur.n):
+                    if cur._mappoints[i] is not None and cur.outlier[i]:
+                        cur._mappoints[i] = None
+            elif cur._lazy_src is not None:
+                mps_, midx_, mask_ = cur._lazy_src
+                cur._lazy_src = (mps_, midx_, mask_ & ~cur.outlier)
+                cur.outlier = np.zeros(cur.n, bool)
 
         if self.state == State.LOST:
             if m.n_keyframes() <= 10:
@@ -281,24 +289,22 @@ class Tracking:
             # Associate map points + statistics (SearchLocalPoints +
             # TrackLocalMap bookkeeping, Tracking.cc:913-929). Visibility
             # counts every frustum-passing snapshot point (matched or not).
+            # All bookkeeping is VECTORIZED into snapshot accumulators
+            # (flushed per keyframe) and a lazy match mask on the frame —
+            # per-frame Python object loops dominate replay cost on a
+            # single-core host.
             mps = snapshot.mps
-            for j in np.flatnonzero(out["snap_visible"][: len(mps)]):
-                mp = mps[j]
-                if not mp.bad:
-                    mp.n_visible += 1
-            n_inl = 0
-            for i in np.flatnonzero(matched):
-                mp = mps[int(midx[i])]
-                if mp.bad:
-                    continue
-                frame.mappoints[i] = mp
-                if inlier[i]:
-                    frame.outlier[i] = False
-                    mp.n_found += 1
-                    if mp.n_obs() > 0:
-                        n_inl += 1
-                else:
-                    frame.outlier[i] = True
+            P_used = len(mps)
+            snapshot.vis_acc[out["snap_visible"][:P_used]] += 1
+            midx_safe = np.where(matched, midx, 0).astype(np.int64)
+            obs_row = snapshot.obs_pos[midx_safe] & matched
+            snapshot.found_acc[midx_safe[matched & inlier]] += 1
+            n_inl = int(np.count_nonzero(matched & inlier & obs_row))
+            # Pre-keyframe association = matched points with observations
+            # (the VO-match cleanup of Tracking.cc:427-436 folded in);
+            # outliers drop after keyframe creation (_post_tracking_tail).
+            frame.set_lazy_matches(mps, midx, obs_row)
+            frame.outlier = matched & ~inlier
             self.matches_inliers = n_inl
             self.tracked_frames += 1
 
@@ -777,6 +783,12 @@ class Tracking:
 
     def _create_new_keyframe_inner(self):
         m = self.atlas.current
+        # Land accumulated visible/found stats before the mapper's
+        # MapPointCulling reads found_ratio (fused-path bookkeeping is
+        # batched per keyframe, core/snapshot.py).
+        snap = getattr(self.system, "_snapshot", None)
+        if snap is not None:
+            snap.flush_stats()
         kf = KeyFrame(self.current, m.id)
         self.reference_kf = kf
         self.current.reference_kf = kf

@@ -32,12 +32,21 @@ import jax.numpy as jnp
 from .ba import ba_solve_packed
 from .triangulate import triangulate_pairs
 
-# Pinned capacities (one XLA program). See MapperJob in core/local_mapping.
+# Pinned capacities (two XLA programs, ever). See MapperJob in core/local_mapping.
 TRI_CAP = 4096
 BA_K = 48
 BA_P = 2048
 BA_O = 8192
 BA_MOPP = 16
+
+# Two fixed size classes: SMALL covers the common live local-BA problem
+# (<=32 KFs, <=1024 points, <=4096 obs, <=1024 tri pairs) at ~half the BIG
+# variant's device time — the fused mapper program sits on the device-serial
+# critical path (window program + mapper program per keyframe cycle), so its
+# compute directly bounds end-to-end fps. BIG is the cap. Exactly these two
+# variants compile; the dispatcher picks per keyframe.
+MAPPER_SMALL = {"C": 1024, "K": 32, "P": 1024, "O": 4096}
+MAPPER_BIG = {"C": TRI_CAP, "K": BA_K, "P": BA_P, "O": BA_O}
 
 
 @functools.partial(

@@ -1,0 +1,104 @@
+"""Probe: pure device compute of the window program (no replay, no mapper).
+
+Times tracked_window_step end-to-end (dispatch + compute + blocking wire
+pull) and dispatch-only (block on a 1-element token) at several window
+lengths, plus the per-frame program for reference.
+
+Usage: python tools/probe_window_compute.py [W ...]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    Ws = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/movslam_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from movslam_tpu.io.synthetic import SyntheticStream
+    from movslam_tpu.core.trackstate import TrackState
+    from movslam_tpu.ops.window_step import tracked_window_step
+
+    stream = SyntheticStream(n_points=400, seed=42)
+    frames = [stream.frame(k) for k in range(1 + max(Ws))]
+
+    rng = np.random.default_rng(0)
+    cap = 1024
+    st = TrackState.empty(cap)
+    n = cap // 2
+    st = st.replace(
+        pt=jnp.asarray(rng.uniform(16, 460, (cap, 2)).astype(np.float32)),
+        track_id=jnp.asarray(np.arange(cap, dtype=np.int32)),
+        valid=jnp.asarray(np.arange(cap) < n),
+        age=jnp.asarray(rng.integers(0, 5, cap).astype(np.int32)),
+        next_id=jnp.asarray(cap, jnp.int32),
+    )
+    P = 4096
+    snap = np.zeros((P, 12), np.float32)
+    snap[:, 0:3] = rng.normal(0, 2, (P, 3))
+    snap[:, 2] += 10
+    snap[:, 5] = 1.0
+    snap[:, 7] = 100.0
+    snap[:, 8] = 1.0
+    snap[:, 9] = 1.0
+    snap[:, 10] = (
+        np.sort(rng.choice(100000, P, replace=False)).astype(np.int32)
+    ).view(np.float32)
+    snap[:, 11] = np.arange(P)
+    snap = jnp.asarray(snap)
+    intr = jnp.asarray([320.0, 320.0, 320.0, 240.0], jnp.float32)
+    dist = jnp.zeros(10, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    prev_img = jnp.asarray(frames[0].im_gray)
+
+    for W in Ws:
+        mvks = []
+        n_mvs = None
+        for f in frames[1 : W + 1]:
+            mvk, m = f.packed_joint()
+            trailer = np.zeros((2, 8), np.float32)
+            trailer.reshape(-1)[12] = f.coverage_area
+            mvks.append(np.concatenate([mvk, trailer]))
+            n_mvs = m
+        mvk_stack = jnp.asarray(np.stack(mvks))
+        imgs = jnp.asarray(np.stack([f.im_gray for f in frames[1 : W + 1]]))
+        pose_pack = jnp.zeros(25, jnp.float32)
+
+        def run():
+            return tracked_window_step(
+                imgs, prev_img, st, mvk_stack, pose_pack, snap, intr, key,
+                dist, n_mvs=n_mvs, reproj_err=5.0, threshold=25.0,
+                coverage_threshold=0.2, capacity=cap, max_cov=512,
+            )
+
+        out = run()
+        jax.block_until_ready(out["wire"])  # compile + warm
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run()
+            _ = np.asarray(out["wire"])
+        dt_full = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run()
+            jax.block_until_ready(out["key"])  # tiny sync
+        dt_disp = (time.perf_counter() - t0) / reps
+        wire_mb = out["wire"].size * 4 / 1e6
+        print(
+            f"W={W:3d}: full {1e3*dt_full:7.1f} ms ({1e3*dt_full/W:6.2f} ms/f)"
+            f"  compute-sync {1e3*dt_disp:7.1f} ms ({1e3*dt_disp/W:6.2f} ms/f)"
+            f"  wire {wire_mb:.2f} MB"
+        )
+
+
+if __name__ == "__main__":
+    main()

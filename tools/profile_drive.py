@@ -72,6 +72,7 @@ def main():
     system.track_monocular_batch([], flush=True)
 
     # instrument
+    system._prof = ACC  # sub-stage accumulator inside dispatch/replay
     timed(system, "_dispatch_window", "win_dispatch")
     timed(system, "_replay_window", "win_replay")
     timed(system.mapper, "process_one", "mapper_total")
