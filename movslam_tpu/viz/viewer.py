@@ -80,8 +80,12 @@ class Viewer:
         )
         return out
 
-    def draw_map(self, size=640):
-        """MapDrawer top-down (x-z) view: map points + keyframe positions."""
+    def draw_map(self, size=640, covis=True, frusta=True):
+        """MapDrawer top-down (x-z) view (MapDrawer.cc equivalents):
+        map points (black), keyframe frusta (blue wedges along the optical
+        axis, DrawKeyFrames), covisibility graph edges (light green lines
+        between covisible keyframes, DrawGraph ≥15-obs edges), spanning-tree
+        edges (dark green), and the current camera (red)."""
         out = np.full((size, size, 3), 255, np.uint8)
         try:
             import cv2
@@ -89,7 +93,8 @@ class Viewer:
             return out
         m = self.system.atlas.current
         pts = [mp.pos for mp in m.mappoints.values() if not mp.bad]
-        kfs = [kf.center() for kf in m.keyframes.values() if not kf.bad]
+        live = {kf.id: kf for kf in m.keyframes.values() if not kf.bad}
+        kfs = [kf.center() for kf in live.values()]
         if not pts and not kfs:
             return out
         allp = np.array(pts + kfs)
@@ -105,6 +110,41 @@ class Viewer:
 
         for p in pts:
             cv2.circle(out, to_px(p), 1, (0, 0, 0), -1)
-        for c in kfs:
-            cv2.circle(out, to_px(c), 3, (255, 0, 0), -1)
+        if covis:
+            # Covisibility edges (draw once per pair) + spanning tree.
+            for kf in live.values():
+                a = to_px(kf.center())
+                for oid in kf.covis:
+                    if oid > kf.id and oid in live:
+                        cv2.line(out, a, to_px(live[oid].center()),
+                                 (144, 238, 144), 1)
+                if kf.parent is not None and kf.parent.id in live:
+                    cv2.line(out, a, to_px(live[kf.parent.id].center()),
+                             (0, 128, 0), 1)
+        for kf in live.values():
+            c = kf.center()
+            px = to_px(c)
+            if frusta:
+                # Wedge along the camera optical axis (world z of R^T e_z).
+                fwd = kf.R.T @ np.array([0.0, 0.0, 1.0])
+                f2 = np.array([fwd[0], fwd[2]])
+                n = np.linalg.norm(f2)
+                if n > 1e-6:
+                    f2 /= n
+                    side = np.array([-f2[1], f2[0]])
+                    L = max(4, size // 80)
+                    tip = (px[0] + int(f2[0] * L), px[1] + int(f2[1] * L))
+                    wl = (px[0] + int((f2[0] * L + side[0] * L * 0.5) * 0.7),
+                          px[1] + int((f2[1] * L + side[1] * L * 0.5) * 0.7))
+                    wr = (px[0] + int((f2[0] * L - side[0] * L * 0.5) * 0.7),
+                          px[1] + int((f2[1] * L - side[1] * L * 0.5) * 0.7))
+                    cv2.line(out, px, wl, (255, 0, 0), 1)
+                    cv2.line(out, px, wr, (255, 0, 0), 1)
+                    cv2.line(out, wl, tip, (255, 0, 0), 1)
+                    cv2.line(out, wr, tip, (255, 0, 0), 1)
+            cv2.circle(out, px, 2, (255, 0, 0), -1)
+        cur = self.system.tracking.current
+        if cur is not None and cur.pose_set:
+            cc = -(cur.R.T @ cur.t)
+            cv2.circle(out, to_px(cc), 4, (0, 0, 255), -1)
         return out
