@@ -96,7 +96,9 @@ class Frame:
                 mps, midx, mask = self._lazy_src
                 for i in np.flatnonzero(mask):
                     mp = mps[int(midx[i])]
-                    if not mp.bad:
+                    # None: a device-patched snapshot row whose candidate the
+                    # host triangulation gate rejected (transient, rare).
+                    if mp is not None and not mp.bad:
                         lst[i] = mp
             self._mappoints = lst
         return self._mappoints

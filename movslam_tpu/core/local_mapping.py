@@ -787,6 +787,10 @@ class LocalMapping:
 
         created = 0
         new_mps = []
+        # Candidate index -> created MapPoint: the windowed drive's replay
+        # maps device-patched snapshot rows (n_base + i) back to the host
+        # objects through this record (core/system._replay_window).
+        created_map = {}
         for i in np.flatnonzero(good):
             kf2, s1_, s2_ = cand[i]
             if kf1.mp_ids[s1_] >= 0 or kf2.mp_ids[s2_] >= 0:
@@ -799,8 +803,10 @@ class LocalMapping:
             m.add_mappoint(mp)
             self.recent_points.append(mp)
             new_mps.append(mp)
+            created_map[int(i)] = mp
             created += 1
         update_normals_batch(new_mps, m)
+        job["created"] = created_map
         return created
 
     def _search_in_neighbors(self, m):
@@ -1144,15 +1150,33 @@ class LocalMapping:
             size = MAPPER_SMALL if n_tri <= MAPPER_SMALL["C"] else MAPPER_BIG
         C, K, P, O = size["C"], size["K"], size["P"], size["O"]
 
-        tri_wire = np.zeros((C + 1, 16), np.float32)
+        tri_wire = np.zeros((C + 1, 32), np.float32)
         if tri_job is not None:
             n = len(tri_job["cand"])
             tri_wire[0, 0:12] = np.asarray(tri_job["P1"], np.float32).reshape(-1)
+            tri_wire[0, 12:21] = np.asarray(tri_job["R1"], np.float32).reshape(-1)
+            tri_wire[0, 21:24] = np.asarray(tri_job["t1"], np.float32)
+            tri_wire[0, 24] = self.th_far_points if self.far_points else 0.0
             tri_wire[1 : n + 1, 0:12] = np.asarray(
                 tri_job["P2s"], np.float32
             ).reshape(n, 12)
             tri_wire[1 : n + 1, 12:14] = tri_job["uv1"]
             tri_wire[1 : n + 1, 14:16] = tri_job["uv2"]
+            # Per-candidate pose + identity metadata for the DEVICE-side
+            # acceptance gates + next-window snapshot patch (ops/mapper_step).
+            tri_wire[1 : n + 1, 16:25] = np.stack(
+                [kf2.R for (kf2, _, _) in tri_job["cand"]]
+            ).reshape(n, 9)
+            tri_wire[1 : n + 1, 25:28] = np.stack(
+                [kf2.t for (kf2, _, _) in tri_job["cand"]]
+            )
+            tri_wire[1 : n + 1, 28] = (
+                np.fromiter(
+                    (kf2.track_ids[b] for (kf2, _, b) in tri_job["cand"]),
+                    np.int64, n,
+                ).astype(np.int32).view(np.float32)
+            )
+            tri_wire[1 : n + 1, 29] = 1.0
         if ba_job is not None:
             ba_wire = ba_job["wire"]
         else:
@@ -1169,9 +1193,11 @@ class LocalMapping:
         )
         # Prefetch: the result is committed one keyframe later; starting the
         # host copy now lets the D2H transfer ride out the window of tracking
-        # in between instead of blocking the commit pull.
+        # in between instead of blocking the commit pull. The patch bundles
+        # stay device-resident — the next window's dispatch consumes them
+        # without any host round trip.
         try:
-            out.copy_to_host_async()
+            out["wire"].copy_to_host_async()
         except AttributeError:
             pass
         self._deferred = {
@@ -1207,11 +1233,12 @@ class LocalMapping:
             return
         if not blocking:
             try:
-                if not d["out"].is_ready():
+                if not d["out"]["wire"].is_ready():
                     return
             except AttributeError:
                 pass
         self._deferred = None
+        d["committed"] = True
         m = d["map"]
         if m is not self.atlas.current:
             return  # map was reset/switched since dispatch
@@ -1219,7 +1246,8 @@ class LocalMapping:
 
         size = d.get("size", MAPPER_BIG)
         X, out_kf, out_mp, out_obs = split_mapper_wire(  # ONE pull
-            d["out"], C=size["C"], K=size["K"], P=size["P"], O=size["O"],
+            d["out"]["wire"],
+            C=size["C"], K=size["K"], P=size["P"], O=size["O"],
         )
         with self.map_lock:
             if d["tri"] is not None:

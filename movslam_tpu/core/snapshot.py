@@ -22,8 +22,12 @@ class MapSnapshot:
 
     The device image is ONE fused (P, 12) f32 upload (one RPC per republish
     on remote TPUs): cols 0:10 = pack [pos(3) normal(3) mind maxd valid ref],
-    col 10 = sorted track ids (i32 bits), col 11 = sort permutation (exact as
-    f32 below 2^24). tid_sorted/perm/pack views are device-side slices.
+    col 10 = track ids in ROW order (i32 bits; invalid rows = int32 max),
+    col 11 = spare. The sorted-id view + permutation that track matching
+    needs are computed IN-PROGRAM (ops/frame_step.prep_snapshot) — keeping
+    the upload in row order lets the windowed drive patch rows on device
+    (deferred-mapper triangulations/BA moves) and re-sort without a host
+    round trip.
 
     Host-side stat accumulators: the per-frame IncreaseVisible/IncreaseFound
     bookkeeping (Tracking.cc:913-929, 1143-1147) is accumulated VECTORIZED
@@ -32,9 +36,11 @@ class MapSnapshot:
     attribute loops over hundreds of objects dominate replay cost on a
     single-core host."""
 
-    __slots__ = ("fused", "mps", "version", "obs_pos", "vis_acc", "found_acc")
+    __slots__ = (
+        "fused", "mps", "version", "obs_pos", "vis_acc", "found_acc", "tids",
+    )
 
-    def __init__(self, fused, mps=None, version=0, obs_pos=None):
+    def __init__(self, fused, mps=None, version=0, obs_pos=None, tids=None):
         self.fused = fused  # (P, 12) single-upload image; split INSIDE jit
         self.mps = mps  # row -> MapPoint (host)
         self.version = version
@@ -46,6 +52,9 @@ class MapSnapshot:
         )
         self.vis_acc = np.zeros(n, np.int64)
         self.found_acc = np.zeros(n, np.int64)
+        # Host copy of the per-row track ids (row order): the windowed drive
+        # maps deferred-BA points -> snapshot rows for the device patch.
+        self.tids = tids if tids is not None else np.zeros(n, np.int64)
 
     def flush_stats(self):
         """Apply accumulated visible/found counts to the MapPoint objects.
@@ -56,20 +65,25 @@ class MapSnapshot:
         vis_rows = np.flatnonzero(self.vis_acc)
         for j in vis_rows:
             mp = self.mps[j]
-            if not mp.bad:
-                mp.n_visible += int(self.vis_acc[j])
+            if mp is not None and not mp.bad:  # None: device-patched row the
+                mp.n_visible += int(self.vis_acc[j])  # host gate rejected
         found_rows = np.flatnonzero(self.found_acc)
         for j in found_rows:
             mp = self.mps[j]
-            if not mp.bad:
+            if mp is not None and not mp.bad:
                 mp.n_found += int(self.found_acc[j])
         self.vis_acc[:] = 0
         self.found_acc[:] = 0
 
 
-def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
-    """Flatten ref_kf's covisible neighborhood into a device snapshot."""
+def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80, reserve=0):
+    """Flatten ref_kf's covisible neighborhood into a device snapshot.
+
+    reserve leaves that many trailing rows empty for the windowed drive's
+    device-side patch (deferred-mapper triangulations land at rows
+    [len(mps), len(mps)+reserve) before the in-program re-sort)."""
     kfs = [ref_kf] + ref_kf.best_covisible(m, max_kfs)
+    limit = cap - reserve
     seen = set()
     mps = []
     for kf in kfs:
@@ -82,9 +96,9 @@ def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
             mp = m.mappoints.get(mid)
             if mp is not None and not mp.bad:
                 mps.append(mp)
-            if len(mps) >= cap:
+            if len(mps) >= limit:
                 break
-        if len(mps) >= cap:
+        if len(mps) >= limit:
             break
 
     n = len(mps)
@@ -104,19 +118,14 @@ def build_snapshot(m, ref_kf, cap=SNAP_CAP, max_kfs=80):
             (1.0 if mp.id in ref_ids else 0.0 for mp in mps), float, n
         )
 
-    # Stable sort: searchsorted returns the LEFTMOST equal entry, which by
-    # stability is the first-inserted duplicate (map::insert first-wins).
-    order = np.argsort(tid, kind="stable")
-    tid_sorted = tid[order]
-
     fused = np.zeros((cap, 12), np.float32)
     fused[:, 0:10] = pack
-    fused[:, 10] = tid_sorted.view(np.float32)  # i32 bits
-    fused[:, 11] = order  # exact below 2^24
+    fused[:, 10] = tid.view(np.float32)  # i32 bits, ROW order
     obs_pos = np.fromiter((len(mp.obs) > 0 for mp in mps), bool, n)
     return MapSnapshot(
         jnp.asarray(fused),
         mps=mps,
         version=m.change_index,
         obs_pos=obs_pos,
+        tids=tid[:n].astype(np.int64),
     )

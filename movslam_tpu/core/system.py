@@ -70,6 +70,7 @@ class System:
         # KF-aligned schedule stays in phase). See _batch_drive.
         self._wf = None
         self._pending = []
+        self._zero_patch = None  # cached no-op snapshot-patch arrays
         # Optional sub-stage profiling accumulator (tools/profile_drive.py):
         # set to a defaultdict(float) to collect per-stage seconds.
         self._prof = None
@@ -165,7 +166,11 @@ class System:
 
     def _refresh_snapshot(self):
         """(Re)publish the device map snapshot when the reference KF or the
-        map version changed (once per keyframe, not per frame)."""
+        map version changed (once per keyframe, not per frame). The trailing
+        C_PATCH rows stay reserved for the windowed drive's device-side
+        deferred-mapper patch (ops/window_step._apply_patch)."""
+        from ..ops.mapper_step import C_PATCH
+
         tr = self.tracking
         m = self.atlas.current
         if tr.reference_kf is None:
@@ -179,8 +184,58 @@ class System:
         with self.mapper.map_lock:
             if self._snapshot is not None:
                 self._snapshot.flush_stats()
-            self._snapshot = build_snapshot(m, tr.reference_kf)
+            self._snapshot = build_snapshot(m, tr.reference_kf, reserve=C_PATCH)
         self._snapshot_key = key
+
+    def _patch_inputs(self, snap):
+        """Device-side snapshot patch for a window dispatch: the pending
+        (dispatched, uncommitted) deferred mapper job's device-resident
+        results + host row metadata. Returns (patch_tri, patch_mp,
+        patch_meta, job) — zero-filled no-op arrays when nothing is pending,
+        so the window program keeps ONE compiled signature."""
+        import jax.numpy as jnp
+        from ..ops.frame_step import SNAP_CAP
+        from ..ops.mapper_step import C_PATCH, P_PATCH
+
+        d = self.mapper._deferred
+        pending = (
+            d is not None
+            and not d.get("committed")
+            and d["map"] is self.atlas.current
+        )
+        if not pending:
+            if self._zero_patch is None:
+                meta = np.full(P_PATCH + 1, SNAP_CAP, np.float32)
+                meta[0] = 0.0
+                self._zero_patch = (
+                    jnp.zeros((C_PATCH, 10), jnp.float32),
+                    jnp.zeros((P_PATCH, 3), jnp.float32),
+                    jnp.asarray(meta),
+                )
+            return self._zero_patch + (None,)
+
+        n_base = len(snap.mps)
+        meta = np.full(P_PATCH + 1, SNAP_CAP, np.float32)  # cap row = drop
+        meta[0] = n_base
+        ba = d.get("ba")
+        if ba is not None and n_base:
+            # BA point -> base snapshot row by track id (first-wins order
+            # matches the device's stable searchsorted).
+            order = np.argsort(snap.tids, kind="stable")
+            sorted_tids = snap.tids[order]
+            tids = np.fromiter(
+                (mp.track_id for mp in ba["mps"]), np.int64, len(ba["mps"])
+            )[:P_PATCH]
+            pos = np.searchsorted(sorted_tids, tids)
+            pos_c = np.minimum(pos, n_base - 1)
+            hit = sorted_tids[pos_c] == tids
+            meta[1 : len(tids) + 1] = np.where(
+                hit, order[pos_c], SNAP_CAP
+            ).astype(np.float32)
+        return (
+            d["out"]["patch_tri"], d["out"]["patch_mp"],
+            jnp.asarray(meta), d,
+        )
 
     def _track_monocular_fused(self, timestamp, smv, img_dev):
         """One-dispatch frame path (ops/frame_step): OK-state frames only."""
@@ -329,10 +384,11 @@ class System:
             # its device carry, then replay the in-flight window. The
             # speculative window's compute overlaps this replay (and the
             # mapper work it triggers) — one host<->device sync per window.
-            # _dispatch_window commits the previous keyframe's deferred
-            # mapper output (after issuing its uploads, which overlap the
-            # commit's device wait) so the snapshot the speculative window
-            # tracks against is at most one KF stale.
+            # The previous keyframe's deferred mapper results ride into the
+            # speculative dispatch as a DEVICE-side snapshot patch
+            # (_patch_inputs), so the window tracks at most one KF stale
+            # without any blocking commit; the host graph catches up when
+            # the window replays (or at the next keyframe's process_one).
             spec_run = self._collect_run(todo, speculative=True)
             spec = (
                 self._dispatch_window(spec_run, carry=self._wf)
@@ -480,6 +536,11 @@ class System:
         t0 = _t()
         stereo = len(run[0]) == 3
         tr = self.tracking
+        # No snapshot can exist without a reference keyframe: bail before
+        # packing/uploading the window's tensors (they would be wasted work
+        # and H2D transfers on a doomed dispatch).
+        if tr.reference_kf is None:
+            return None
         # Windowed drive: deterministic frame-count mapper throttle (the
         # wall-clock is_ready poll starves KFs when W frames replay in
         # microseconds; the reference mapper is busy ~1-3 frame times per KF,
@@ -495,13 +556,6 @@ class System:
         self.mapper.busy_frames = (
             3 if self.atlas.current.n_keyframes() < 8 else self.window
         )
-        # Pack + upload the window's MV/image tensors BEFORE the blocking
-        # mapper commit: neither depends on the snapshot, and the H2D RPCs
-        # (~25 ms each through the tunnel) then ride out the tail of the
-        # deferred mapper program still executing on device — poke_commit
-        # below blocks on exactly that program, so ordering uploads first
-        # converts two serialized stalls into one overlapped one (measured
-        # ~45 ms/window saved).
         mvks = []
         n_mvs = None
         for it in run:
@@ -524,17 +578,18 @@ class System:
         if prof is not None:
             prof["disp_upload"] += _t() - t0
             t0 = _t()
-        # Land any finished deferred mapper work before snapshotting: the
-        # speculative window must track against a snapshot at most one KF
-        # stale (a fresher one does not exist yet), and after a rewind this
-        # is the only poke before the re-dispatch — without it the window
-        # would miss the just-created keyframe's triangulations, the very
-        # staleness the rewind was meant to escape.
-        self.mapper.poke_commit()
+        # The pending deferred mapper job is NOT committed here (round 3
+        # blocked ~40 ms/window pulling it): the snapshot is built from the
+        # host graph as-is and the pending job's device-resident results ride
+        # into the window program as a snapshot PATCH (_patch_inputs /
+        # ops/window_step._apply_patch) — the window tracks against
+        # base + patch, exactly as fresh as the old blocking commit, with the
+        # host graph catching up at replay time from the prefetched wire.
         self._refresh_snapshot()
         snap = self._snapshot
         if snap is None:
             return None
+        patch_tri, patch_mp, patch_meta, patch_job = self._patch_inputs(snap)
         if prof is not None:
             prof["disp_commit_snap"] += _t() - t0
             t0 = _t()
@@ -571,6 +626,9 @@ class System:
             threshold=float(self.extractor.threshold),
             coverage_threshold=float(self.extractor.coverage_threshold),
             imgs_right=imgs_right,
+            patch_tri=patch_tri,
+            patch_mp=patch_mp,
+            patch_meta=patch_meta,
             capacity=self.extractor.capacity,
             max_cov=512,
             has_dist=self._has_dist,
@@ -611,6 +669,7 @@ class System:
         return {
             "out": out, "run": run, "snap": snap, "imgs_dev": imgs_dev,
             "stereo": stereo, "n_mvs": n_mvs,
+            "patch_job": patch_job, "n_base": len(snap.mps),
             "sched_exit": (start + len(run), cool_x, lastkf_x),
         }
 
@@ -630,6 +689,32 @@ class System:
         imgs_dev = wf["imgs_dev"]
         W = len(run)
         tr = self.tracking
+
+        # The window tracked against base + device patch (pending deferred
+        # mapper results). Make sure that job reached the host graph (it
+        # normally did, at the keyframe processed between this window's
+        # dispatch and now; the poke covers keyframe-less gaps) and extend
+        # the snapshot's host view so patched rows resolve to MapPoints.
+        patch_job = wf.get("patch_job")
+        if patch_job is not None:
+            from ..ops.mapper_step import C_PATCH
+            from .snapshot import MapSnapshot
+
+            if not patch_job.get("committed"):
+                self.mapper.poke_commit(blocking=True)
+            tri = patch_job.get("tri")
+            created = tri.get("created", {}) if tri is not None else {}
+            ext = [created.get(i) for i in range(C_PATCH)]
+            obs_ext = np.fromiter(
+                (mp is not None and not mp.bad for mp in ext), bool, C_PATCH
+            )
+            snap.flush_stats()
+            snap = MapSnapshot(
+                snap.fused,
+                mps=list(snap.mps) + ext,
+                version=snap.version,
+                obs_pos=np.concatenate([snap.obs_pos, obs_ext]),
+            )
 
         C = packed_cols(self._has_dist, stereo)
         wire = np.asarray(out["wire"])
@@ -778,6 +863,10 @@ class System:
 
         if prof is not None:
             prof["rep_loop_tail"] += _t() - t_it
+        if patch_job is not None:
+            # The extended view is window-local: land its visible/found
+            # accumulators on the MapPoint objects before it goes away.
+            snap.flush_stats()
         clean = consumed == W and tr.state == State.OK and not rewound
         if not clean:
             # Rewind the device track state to the last consumed frame —

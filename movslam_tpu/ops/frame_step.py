@@ -64,6 +64,22 @@ def undistort_points_jax(uv, intr, dist):
     return jnp.stack([x * fx + cx, y * fy + cy], axis=-1)
 
 
+def prep_snapshot(snap_fused):
+    """Sort the row-order snapshot track ids IN-PROGRAM.
+
+    snap_fused: (P, 12) f32 — core/snapshot.py layout (col 10 = tid i32 bits
+    in row order, invalid rows int32-max). Returns (snap_pack (P,10),
+    tid_sorted (P,), perm (P,) sorted-position -> row). Stable sort keeps
+    duplicate ids resolving to the first-inserted row (map::insert
+    first-wins), matching the host graph's claim order. Computed once per
+    dispatch (per window in the windowed drive) so the windowed drive can
+    patch rows on device before sorting."""
+    snap_pack = snap_fused[:, 0:10]
+    tid = jax.lax.bitcast_convert_type(snap_fused[:, 10], jnp.int32)
+    perm = jnp.argsort(tid, stable=True).astype(jnp.int32)
+    return snap_pack, tid[perm], perm
+
+
 def match_snapshot(track_id, valid, snap_tid_sorted, snap_perm, snap_valid):
     """Join frame tracks against the snapshot by track id.
 
@@ -140,11 +156,13 @@ def _frame_program_body(
         bounds = jnp.asarray([0.0, float(W), 0.0, float(H)], jnp.float32)
     else:
         bounds = dist_pack[5:9]
-    # The map snapshot travels as ONE fused (P, 12) upload
-    # (core/snapshot.py): pack(10) | tid i32-bits | perm.
-    snap_pack = snap_fused[:, 0:10]
-    snap_tid_sorted = jax.lax.bitcast_convert_type(snap_fused[:, 10], jnp.int32)
-    snap_perm = snap_fused[:, 11].astype(jnp.int32)
+    # The map snapshot arrives prepped (prep_snapshot): either the fused
+    # (P, 12) upload or a pre-sorted (pack, tid_sorted, perm) tuple — the
+    # window program preps ONCE per window after its device-side patch.
+    if isinstance(snap_fused, tuple):
+        snap_pack, snap_tid_sorted, snap_perm = snap_fused
+    else:
+        snap_pack, snap_tid_sorted, snap_perm = prep_snapshot(snap_fused)
     snap_pos = snap_pack[:, 0:3]
     snap_normal = snap_pack[:, 3:6]
     snap_mind = snap_pack[:, 6]

@@ -232,23 +232,41 @@ def pnp_ransac(
     R_best, t_best = Rh[best], th[best]
     inliers0 = inl[best]
 
-    # --- refinement ------------------------------------------------------
-    w_mask = inliers0.astype(jnp.float32)
-    R_ref, t_ref = _gn_refine(
-        R_best, t_best, pw, uv, w_mask, fx, fy, cx, cy,
-        huber_delta=jnp.sqrt(thr2), iters=gn_iters, ur=ur, bf=bf,
-    )
-    err2_ref = _reproj_err2(R_ref, t_ref, pw, uv, fx, fy, cx, cy, ur, bf)
-    inliers = (err2_ref < thr2) & valid
-    n_in = jnp.sum(inliers.astype(jnp.int32))
-    msac_ref = jnp.sum(jnp.minimum(err2_ref, thr2) * valid)
+    # --- refinement (LO-RANSAC, top-2) -----------------------------------
+    # Polish the TOP TWO hypotheses by MSAC and reselect on the POLISHED
+    # scores. Near-tied raw winners are the trajectory-chaos source (f32
+    # reduction-order noise across XLA program variants flips the raw
+    # argmin); after local optimization both near-ties converge into their
+    # common basin, so the selection becomes insensitive to which one was
+    # "first" — deterministic tie-breaking through optimization rather than
+    # through fragile score comparison. Second GN costs one more vmap lane
+    # over the same (N,) residual set (~free next to 257-lane scoring).
+    top2 = jnp.argsort(msac)[:2]
+    w2 = inl[top2].astype(jnp.float32)  # (2, N)
+    R_ref2, t_ref2 = jax.vmap(
+        lambda R0, t0, w: _gn_refine(
+            R0, t0, pw, uv, w, fx, fy, cx, cy,
+            huber_delta=jnp.sqrt(thr2), iters=gn_iters, ur=ur, bf=bf,
+        )
+    )(Rh[top2], th[top2], w2)
+    err2_ref2 = _reproj_err2(
+        R_ref2, t_ref2, pw, uv, fx, fy, cx, cy, ur, bf
+    )  # (2, N)
+    inl_ref2 = (err2_ref2 < thr2) & valid[None, :]
+    msac_ref2 = jnp.sum(jnp.minimum(err2_ref2, thr2) * valid[None, :], axis=1)
 
-    # Keep whichever of (refined, best-hypothesis) scores better (MSAC).
-    take_ref = msac_ref <= msac[best]
-    R_out = jnp.where(take_ref, R_ref, R_best)
-    t_out = jnp.where(take_ref, t_ref, t_best)
-    inl_out = jnp.where(take_ref, inliers, inliers0)
-    n_out = jnp.where(take_ref, n_in, counts[best])
+    # Candidate set: both polished lanes, then the raw winner (fallback for
+    # GN divergence). Polished lanes come FIRST so argmin's first-wins
+    # tie-break prefers the optimized pose.
+    cand_msac = jnp.concatenate([msac_ref2, msac[best][None]])
+    cand_R = jnp.concatenate([R_ref2, R_best[None]])
+    cand_t = jnp.concatenate([t_ref2, t_best[None]])
+    cand_inl = jnp.concatenate([inl_ref2, inliers0[None]])
+    pick = jnp.argmin(cand_msac)
+    R_out = cand_R[pick]
+    t_out = cand_t[pick]
+    inl_out = cand_inl[pick]
+    n_out = jnp.sum(inl_out.astype(jnp.int32))
 
     ok = (n_valid >= 4) & (n_out >= 4)
     return {

@@ -33,7 +33,46 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .frame_step import _frame_program_body
+from .frame_step import _frame_program_body, prep_snapshot
+
+
+def _apply_patch(snap_fused, patch_tri, patch_mp, patch_meta):
+    """Scatter a deferred mapper job's device-resident results into the map
+    snapshot: BA-moved point positions + device-gated new triangulations
+    (rows [n_base, n_base + C_PATCH) of the reserved tail). Invalid rows are
+    dropped via out-of-bounds indices (mode='drop'). The host graph commits
+    the same results at the next keyframe — this patch only freshens the
+    window's transient device view (the snapshot the reference's tracker
+    would see after its mapper thread finished, LocalMapping.cc:50-115)."""
+    P = snap_fused.shape[0]
+    n_base = patch_meta[0].astype(jnp.int32)
+    rows_ba = patch_meta[1:].astype(jnp.int32)  # (P_PATCH,); >= P drops
+    fused = snap_fused.at[rows_ba, 0:3].set(patch_mp, mode="drop")
+
+    X = patch_tri[:, 0:3]
+    tidb = patch_tri[:, 3]
+    ok = patch_tri[:, 4] > 0
+    nrm = patch_tri[:, 5:8]
+    mind = patch_tri[:, 8:9]
+    maxd = patch_tri[:, 9:10]
+    idx = n_base + jnp.arange(patch_tri.shape[0], dtype=jnp.int32)
+    rows_t = jnp.where(ok & (idx < P), idx, P)
+    one = jnp.ones_like(tidb)[:, None]
+    newrow = jnp.concatenate(
+        [
+            X,
+            nrm,
+            mind,                             # host-parity distance band
+            maxd,                             # (update_normals_batch)
+            one,                              # valid
+            one,                              # ref-KF member: fresh points
+                                              # back the stage-1 ref gate
+            tidb[:, None],                    # track id (i32 bits)
+            jnp.zeros_like(tidb)[:, None],
+        ],
+        axis=1,
+    )
+    return fused.at[rows_t].set(newrow, mode="drop")
 
 
 @functools.partial(
@@ -54,6 +93,9 @@ def tracked_window_step(
     key,
     dist_pack=None,
     imgs_right=None,
+    patch_tri=None,
+    patch_mp=None,
+    patch_meta=None,
     *,
     n_mvs,
     reproj_err,
@@ -81,6 +123,12 @@ def tracked_window_step(
     W = imgs.shape[0]
     N = prev_state.pt.shape[0]
     P = snap_fused.shape[0]
+
+    # Device-side snapshot patch (pending deferred-mapper results) + ONE
+    # sort for the whole window (core/snapshot.py uploads ids in row order).
+    if patch_tri is not None:
+        snap_fused = _apply_patch(snap_fused, patch_tri, patch_mp, patch_meta)
+    snap = prep_snapshot(snap_fused)
 
     last_R = pose_pack[0:9].reshape(3, 3)
     last_t = pose_pack[9:12]
@@ -110,7 +158,7 @@ def tracked_window_step(
         new_state, packed, scalars, snap_visible, R2, t2, chain_ok = (
             _frame_program_body(
                 img, p_img, state, mv_pack, kps_pack, coverage_area,
-                prior_R, prior_t, snap_fused,
+                prior_R, prior_t, snap,
                 intr, sub, dist_pack, img_r,
                 reproj_err=reproj_err, threshold=threshold,
                 coverage_threshold=coverage_threshold, capacity=capacity,
