@@ -53,6 +53,44 @@ def load_tartan_gt(path):
     return poses
 
 
+def load_gt_timestamps(path):
+    """Timestamps of an 8-column TUM/EuRoC GT file; None for 7-col TartanAir."""
+    rows = np.loadtxt(path)
+    if rows.ndim == 1:
+        rows = rows[None]
+    if rows.shape[1] < 8:
+        return None
+    return rows[:, 0].astype(float)
+
+
+def associate_by_timestamp(gt_ts, est_ts, max_difference=0.02, offset=0.0):
+    """Greedy nearest-timestamp association (the reference's
+    evaluation/associate.py contract): all (gt_i, est_j) pairs within
+    max_difference are sorted by |dt| and claimed first-wins, so each row
+    matches at most once. Returns a list of (gt_index, est_index)."""
+    cand = []
+    j0 = 0
+    est_adj = np.asarray(est_ts, float) + offset
+    order = np.argsort(est_adj)
+    est_sorted = est_adj[order]
+    for i, t in enumerate(gt_ts):
+        j0 = np.searchsorted(est_sorted, t - max_difference)
+        j = j0
+        while j < len(est_sorted) and est_sorted[j] <= t + max_difference:
+            cand.append((abs(est_sorted[j] - t), i, int(order[j])))
+            j += 1
+    cand.sort()
+    used_gt, used_est, pairs = set(), set(), []
+    for _, i, j in cand:
+        if i in used_gt or j in used_est:
+            continue
+        used_gt.add(i)
+        used_est.add(j)
+        pairs.append((i, j))
+    pairs.sort()
+    return pairs
+
+
 def load_kitti_est(path):
     """KITTI estimate rows: frame_id + 12 pose values (T_wc 3x4)."""
     rows = np.loadtxt(path)
@@ -157,7 +195,8 @@ def kitti_metrics(gt_poses, est_poses, lengths=(7, 14, 21, 28, 35)):
     return float(np.mean(t_rel) * 100.0), float(np.mean(r_rel))
 
 
-def evaluate(gt_file, est_file, fmt="kitti", with_scale=True):
+def evaluate(gt_file, est_file, fmt="kitti", with_scale=True,
+             max_difference=0.02, return_traj=False):
     gt = load_tartan_gt(gt_file)
     if fmt == "kitti":
         est = load_kitti_est(est_file)
@@ -166,9 +205,18 @@ def evaluate(gt_file, est_file, fmt="kitti", with_scale=True):
         est_sel = [T for _, T in pairs]
     else:
         est = load_tum_est(est_file)
-        n = min(len(est), len(gt))
-        gt_sel = [gt[i] for i in range(n)]
-        est_sel = [est[i][1] for i in range(n)]
+        gt_ts = load_gt_timestamps(gt_file)
+        if gt_ts is not None:
+            # Timestamp association (reference evaluation/associate.py):
+            # real EuRoC/TUM runs drop frames, so row index != frame.
+            est_ts = np.array([est[i][0] for i in range(len(est))])
+            pairs = associate_by_timestamp(gt_ts, est_ts, max_difference)
+            gt_sel = [gt[i] for i, _ in pairs]
+            est_sel = [est[j][1] for _, j in pairs]
+        else:
+            n = min(len(est), len(gt))
+            gt_sel = [gt[i] for i in range(n)]
+            est_sel = [est[i][1] for i in range(n)]
 
     if len(gt_sel) < 2:
         raise SystemExit("not enough associated poses to evaluate")
@@ -187,7 +235,7 @@ def evaluate(gt_file, est_file, fmt="kitti", with_scale=True):
 
     rpe_t, rpe_r = rpe(gt_sel, est_aligned)
     kt, kr = kitti_metrics(gt_sel, est_aligned)
-    return {
+    res = {
         "ate_rmse": ate,
         "scale": s,
         "rpe_trans_rmse": rpe_t,
@@ -196,6 +244,37 @@ def evaluate(gt_file, est_file, fmt="kitti", with_scale=True):
         "kitti_r_deg_per_m": kr,
         "n_poses": len(gt_sel),
     }
+    if return_traj:
+        return res, gt_xyz, np.array([T[:3, 3] for T in est_aligned])
+    return res
+
+
+def plot_ate(gt_xyz, est_aligned_xyz, out, ate=None):
+    """Top-down GT vs scale-aligned estimate overlay (the reference's
+    plot_ate in evaluate_ate_scale.py / tartanair results.png)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.plot(gt_xyz[:, 0], gt_xyz[:, 1], "-", color="black", label="ground truth")
+    ax.plot(
+        est_aligned_xyz[:, 0], est_aligned_xyz[:, 1], "-", color="tab:blue",
+        label="estimate (aligned)",
+    )
+    # Error whiskers every ~20th pose: the visual ATE readout.
+    step = max(1, len(gt_xyz) // 50)
+    for g, e in zip(gt_xyz[::step], est_aligned_xyz[::step]):
+        ax.plot([g[0], e[0]], [g[1], e[1]], "-", color="red", lw=0.6, alpha=0.6)
+    title = "ATE RMSE: %.4f m" % ate if ate is not None else "ATE"
+    ax.set_title(title)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.axis("equal")
+    ax.legend()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
 
 
 def main(argv):
@@ -205,21 +284,17 @@ def main(argv):
     fmt = "kitti"
     if "--fmt" in argv:
         fmt = argv[argv.index("--fmt") + 1]
-    res = evaluate(argv[1], argv[2], fmt)
+    max_diff = 0.02
+    if "--max_difference" in argv:
+        max_diff = float(argv[argv.index("--max_difference") + 1])
+    res, gt_xyz, est_xyz = evaluate(
+        argv[1], argv[2], fmt, max_difference=max_diff, return_traj=True
+    )
     print(json.dumps(res, indent=2))
     if "--plot" in argv:
         out = argv[argv.index("--plot") + 1]
         try:
-            import matplotlib
-
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-
-            gt = load_tartan_gt(argv[1])
-            gt_xyz = np.array([T[:3, 3] for T in gt])
-            plt.plot(gt_xyz[:, 0], gt_xyz[:, 1], label="gt")
-            plt.legend()
-            plt.savefig(out)
+            plot_ate(gt_xyz, est_xyz, out, ate=res["ate_rmse"])
         except ImportError:
             print("matplotlib unavailable; skipping plot", file=sys.stderr)
     return 0

@@ -1,9 +1,12 @@
 """Schur-complement LM bundle adjustment on synthetic geometry."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from movslam_tpu.ops import lie
 from movslam_tpu.ops.ba import ba_solve, build_obs_by_point
+
+pytestmark = pytest.mark.smoke
 
 FX = FY = 320.0
 CX, CY = 320.0, 240.0

@@ -6,6 +6,8 @@ import pytest
 
 from movslam_tpu.io.synthetic import SyntheticStream
 
+pytestmark = pytest.mark.smoke
+
 cv2 = pytest.importorskip("cv2")
 
 

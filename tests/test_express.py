@@ -1,9 +1,12 @@
 """Golden tests: batched JAX EXPRESS vs scalar NumPy transcription."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from movslam_tpu.ops import express, bitdesc
 from tests.golden import express_ref
+
+pytestmark = pytest.mark.smoke
 
 
 def _random_blocks(rng, n):

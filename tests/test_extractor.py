@@ -1,4 +1,5 @@
 """Extractor pipeline on the synthetic MV stream: persistent track ids."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -6,6 +7,8 @@ from movslam_tpu.core.extractor import MOVExtractor
 from movslam_tpu.io.synthetic import SyntheticStream
 from movslam_tpu.io.mvimage import FrameType
 from movslam_tpu.ops.mvselect import candidate_mvs
+
+pytestmark = pytest.mark.smoke
 
 
 def test_candidate_mvs_matches_bruteforce(rng):

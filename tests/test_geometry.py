@@ -1,4 +1,5 @@
 """Geometry ops on synthetic scenes: triangulation, PnP-RANSAC, two-view."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -7,6 +8,8 @@ from movslam_tpu.ops.triangulate import triangulate_rays
 from movslam_tpu.ops.pnp import pnp_ransac
 from movslam_tpu.ops.twoview import reconstruct_two_views
 from movslam_tpu.ops import lie
+
+pytestmark = pytest.mark.smoke
 
 FX = FY = 320.0
 CX, CY = 320.0, 240.0

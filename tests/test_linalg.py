@@ -13,6 +13,8 @@ from movslam_tpu.ops.linalg import (
     solve_psd,
 )
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def rng():

@@ -1,8 +1,11 @@
 """Batched pyramidal LK vs known shifts and cv2 golden."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from movslam_tpu.ops.lk import lk_track
+
+pytestmark = pytest.mark.smoke
 
 
 def _textured(rng, H=240, W=320):

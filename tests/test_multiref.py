@@ -9,6 +9,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 _LIB_DIR = os.path.join(
     os.path.dirname(__file__), "..", "movslam_tpu", "native", "decoder"
 )

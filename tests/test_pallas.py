@@ -3,11 +3,14 @@
 Runs in interpreter mode on the CPU test backend; the same kernel is
 bit-exact and faster on real TPU hardware (verified on v5e: 0.05 ms vs
 0.37 ms at B=512, 38 ms vs 59 ms at B=8192)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
 from movslam_tpu.ops.pallas_kernels import score_blocks
 from movslam_tpu.ops import express, bitdesc
+
+pytestmark = pytest.mark.smoke
 
 
 def test_score_blocks_matches_xla_path(rng):

@@ -28,6 +28,7 @@ def stream_items():
     return [(f.timestamp, f) for f in frames]
 
 
+@pytest.mark.smoke
 def test_windowed_tracks_without_loss(stream_items):
     sys_w = System(_settings(), MONOCULAR)
     k = 0
@@ -80,6 +81,7 @@ def test_windowed_mixed_batch_with_iframe(stream_items):
     assert sys_w.get_total_lost() <= 1
 
 
+@pytest.mark.smoke
 def test_pipelined_stream_drive(stream_items):
     """flush=False streaming drive: window k+1 dispatches on window k's
     device carry before k is replayed (System._batch_drive), and the
