@@ -71,27 +71,49 @@ def _load_lib(auto_build=True):
     return lib
 
 
-def encode_gray(path, frames, fps=30.0, keyint=1000, refs=2, bframes=0):
+def encode_gray(path, frames, fps=30.0, keyint=1000, refs=2, bframes=0,
+                cavlc=False):
     """Encode a (N, H, W) uint8 stack with libx264 at the reference operating
     point (README.md:47-69: preset fast, tune film, p8x8/p4x4 partitions,
     me=umh, merange=64, subme=6, bframes=0) — test/utility entry point (the
     reference encodes on a separate host with the ffmpeg CLI). bframes > 0
-    exercises the decoder's B-frame branch."""
+    exercises the decoder's B-frame branch. cavlc=True encodes with CAVLC
+    entropy coding, letting the h264_refidx sidecar parser recover per-block
+    reference indices (the multi-ref ingest path) with stock libavcodec."""
     lib = _load_lib()
-    lib.mvenc_encode_gray.restype = ctypes.c_int
-    lib.mvenc_encode_gray.argtypes = [
+    lib.mvenc_encode_gray2.restype = ctypes.c_int
+    lib.mvenc_encode_gray2.argtypes = [
         ctypes.c_char_p, np.ctypeslib.ndpointer(np.uint8), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     frames = np.ascontiguousarray(frames, np.uint8)
     n, h, w = frames.shape
-    rc = lib.mvenc_encode_gray(
+    rc = lib.mvenc_encode_gray2(
         str(path).encode(), frames.reshape(-1), w, h, n, float(fps),
-        int(keyint), int(refs), int(bframes),
+        int(keyint), int(refs), int(bframes), int(bool(cavlc)),
     )
     if rc != 0:
         raise RuntimeError(f"mvenc_encode_gray failed rc={rc}")
+
+
+def refidx_scan(path, cap=512):
+    """Run ONLY the CAVLC ref-index sidecar parser over a file's packets.
+
+    Returns an (n, 12) int32 array per access unit:
+    [parsed, n_mbs, n_intra_blocks, hist_ref0..hist_ref7, overflow] where
+    hist_refK counts 8x8 blocks recovered as `hops-1 == K`. Structural test
+    hook for h264_refidx.cc."""
+    lib = _load_lib()
+    lib.mvdec_refidx_scan.restype = ctypes.c_int
+    lib.mvdec_refidx_scan.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int32), ctypes.c_int,
+    ]
+    out = np.zeros((cap, 12), np.int32)
+    n = lib.mvdec_refidx_scan(str(path).encode(), out.reshape(-1), cap)
+    if n < 0:
+        raise RuntimeError(f"mvdec_refidx_scan failed rc={n}")
+    return out[:n]
 
 
 class VideoDecoder:

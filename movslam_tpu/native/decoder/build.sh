@@ -24,7 +24,8 @@ if [ -n "${MV_HDR:-}" ] && grep -q 'int32_t ref' "$MV_HDR"; then
   echo "patched FFmpeg detected ($MV_HDR): multi-ref MV export enabled"
 fi
 
-g++ -O2 -shared -fPIC -std=c++17 $REF_FLAG mv_decoder.cc mv_encoder.cc \
+g++ -O2 -shared -fPIC -std=c++17 $REF_FLAG \
+    mv_decoder.cc mv_encoder.cc h264_refidx.cc \
     -o libmvdecoder.so \
     $CFLAGS $LIBS
 echo "built $(pwd)/libmvdecoder.so"

@@ -51,6 +51,8 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include "h264_refidx.h"
+
 namespace {
 
 // Capacities sized for the published encoder operating point: partitions
@@ -235,6 +237,10 @@ struct MvDecoder {
   std::unique_ptr<QueuedFrame> current;  // last popped (buffers alive)
   MvFrameView view{};
   char err[256] = {0};
+  // CAVLC ref-index sidecar parser (h264_refidx.cc): recovers the per-block
+  // reference index the reference gets from its FFmpeg patch. Null for
+  // non-H.264 streams; disables itself on CABAC/interlace/B-frames.
+  RefIdxParser* refp = nullptr;
 };
 
 static void set_err(MvDecoder* d, const char* msg) {
@@ -273,6 +279,13 @@ MvDecoder* mvdec_open(const char* url, int qlen) {
     return d;
   }
   av_dict_free(&opts);
+  if (st->codecpar->codec_id == AV_CODEC_ID_H264) {
+    d->refp = refidx_create();
+    if (st->codecpar->extradata && st->codecpar->extradata_size > 6 &&
+        st->codecpar->extradata[0] == 1)
+      refidx_set_avcc(d->refp, st->codecpar->extradata,
+                      st->codecpar->extradata_size);
+  }
   d->width = d->codec->width;
   d->height = d->codec->height;
   if (st->avg_frame_rate.den > 0)
@@ -334,6 +347,18 @@ static void process_frame(MvDecoder* d, AVFrame* f) {
     float coverage = 0.f;
     const float W = d->width, H = d->height;
 
+    // Per-8x8-block reference indices recovered by the CAVLC sidecar parser
+    // (h264_refidx.cc), keyed by the frame's pts. Equivalent to the
+    // reference's patched AVMotionVector.ref export
+    // (ffmpeg-ref-patch.patch:122-129 reads ref_index[dir][4*mb_xy+i]).
+    const int8_t* refmap = nullptr;
+    int mb_w = 0, mb_h = 0;
+    if (d->refp) {
+      int64_t key = f->pts != AV_NOPTS_VALUE ? f->pts : f->pkt_dts;
+      refmap = refidx_get(d->refp, key, &mb_w, &mb_h);
+      if (refmap) refidx_gc(d->refp, key);  // decode order == pts order here
+    }
+
     for (int i = 0; i < n; ++i) {
       const AVMotionVector& av = mvs[i];
       MvIn mv;
@@ -347,7 +372,18 @@ static void process_frame(MvDecoder* d, AVFrame* f) {
 #ifdef MV_REF_FIELD
       mv.ref = av.ref;  // patched FFmpeg (ffmpeg-ref-patch.patch:122-129)
 #else
-      mv.ref = 0;  // stock FFmpeg: exact for ref=1 encodes
+      mv.ref = 0;  // stock FFmpeg fallback (exact for ref=1 encodes)
+      if (refmap && av.source < 0) {
+        // The export emits one vector per partition with the block CENTER at
+        // (dst_x, dst_y) (mpegutils.c add_mb): recover mb + 8x8 sub-index.
+        int mbx = av.dst_x >> 4, mby = av.dst_y >> 4;
+        if (mbx >= 0 && mby >= 0 && mbx < mb_w && mby < mb_h) {
+          int sub = ((av.dst_x & 15) >= 8 ? 1 : 0) +
+                    ((av.dst_y & 15) >= 8 ? 2 : 0);
+          int8_t r = refmap[(mby * mb_w + mbx) * 4 + sub];
+          if (r > 0) mv.ref = r;
+        }
+      }
 #endif
       coverage += decompose_mv(mv, d->queue, qf.get(), W, H);
     }
@@ -371,6 +407,11 @@ const MvFrameView* mvdec_next(MvDecoder* d) {
       break;
     }
     if (d->packet->stream_index == d->stream_index) {
+      if (d->refp && refidx_ok(d->refp)) {
+        int64_t key = d->packet->pts != AV_NOPTS_VALUE ? d->packet->pts
+                                                       : d->packet->dts;
+        refidx_feed(d->refp, d->packet->data, d->packet->size, key);
+      }
       if (avcodec_send_packet(d->codec, d->packet) >= 0) {
         while (avcodec_receive_frame(d->codec, d->frame) >= 0)
           process_frame(d, d->frame);
@@ -409,6 +450,7 @@ const MvFrameView* mvdec_next(MvDecoder* d) {
 
 void mvdec_close(MvDecoder* d) {
   if (!d) return;
+  if (d->refp) refidx_destroy(d->refp);
   if (d->sws) sws_freeContext(d->sws);
   if (d->sws_rgb) sws_freeContext(d->sws_rgb);
   if (d->frame) av_frame_free(&d->frame);
@@ -416,6 +458,66 @@ void mvdec_close(MvDecoder* d) {
   if (d->codec) avcodec_free_context(&d->codec);
   if (d->fmt) avformat_close_input(&d->fmt);
   delete d;
+}
+
+// ---------------------------------------------------------------------------
+// Test ABI: demux a file and run ONLY the CAVLC ref-index parser over its
+// packets (no decode). For each access unit writes 12 int32s into `out`:
+//   [parsed, mb_w*mb_h, n_intra_blocks, hist_ref0..hist_ref7, overflow]
+// where hist_refK counts 8x8 blocks whose recovered value is hops-1 == K.
+// Returns the number of access units scanned (<= cap), or negative on open
+// failure. Lets tests assert the parser consumed every P slice exactly and
+// that multi-ref encodes really produce ref>0 blocks.
+extern "C" int mvdec_refidx_scan(const char* url, int32_t* out, int cap) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, url, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -2;
+  }
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (si < 0) {
+    avformat_close_input(&fmt);
+    return -3;
+  }
+  RefIdxParser* rp = refidx_create();
+  AVCodecParameters* par = fmt->streams[si]->codecpar;
+  if (par->extradata && par->extradata_size > 6 && par->extradata[0] == 1)
+    refidx_set_avcc(rp, par->extradata, par->extradata_size);
+
+  AVPacket* pkt = av_packet_alloc();
+  int n = 0;
+  while (n < cap && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si) {
+      int64_t key = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+      int parsed = refidx_feed(rp, pkt->data, pkt->size, key);
+      int32_t* row = out + (size_t)n * 12;
+      memset(row, 0, 12 * sizeof(int32_t));
+      row[0] = parsed;
+      if (parsed) {
+        int mb_w = 0, mb_h = 0;
+        const int8_t* map = refidx_get(rp, key, &mb_w, &mb_h);
+        row[1] = mb_w * mb_h;
+        if (map) {
+          for (int i = 0; i < mb_w * mb_h * 4; ++i) {
+            int8_t r = map[i];
+            if (r < 0)
+              ++row[2];
+            else if (r < 8)
+              ++row[3 + r];
+            else
+              ++row[11];
+          }
+        }
+      }
+      ++n;
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  refidx_destroy(rp);
+  avformat_close_input(&fmt);
+  return n;
 }
 
 // ---------------------------------------------------------------------------

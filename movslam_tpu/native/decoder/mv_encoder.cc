@@ -24,9 +24,13 @@ extern "C" {
 // Encode n gray frames (h*w each, concatenated) to an H.264 file at the
 // reference operating point. refs: number of reference frames (1..4).
 // bframes: consecutive B-frames (0 = the published operating point;
-// nonzero exercises the decoder's B-frame branch). Returns 0 on success.
-int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
-                      int n, double fps, int keyint, int refs, int bframes) {
+// nonzero exercises the decoder's B-frame branch). cavlc != 0 encodes with
+// CAVLC entropy coding (cabac=0) — required for the h264_refidx sidecar
+// parser to recover per-block reference indices with stock libavcodec.
+// Returns 0 on success.
+int mvenc_encode_gray2(const char* path, const uint8_t* frames, int w, int h,
+                       int n, double fps, int keyint, int refs, int bframes,
+                       int cavlc) {
   const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
   if (!codec) return -1;
 
@@ -50,8 +54,8 @@ int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
   char params[256];
   snprintf(params, sizeof(params),
            "partitions=p8x8,p4x4,i8x8:keyint=%d:me=umh:merange=64:subme=6:"
-           "bframes=%d:ref=%d:scenecut=0",
-           keyint, bframes, refs);
+           "bframes=%d:ref=%d:scenecut=0%s",
+           keyint, bframes, refs, cavlc ? ":cabac=0:weightp=0" : "");
   av_opt_set(c->priv_data, "x264-params", params, 0);
   if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
     c->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
@@ -102,6 +106,12 @@ int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return 0;
+}
+
+int mvenc_encode_gray(const char* path, const uint8_t* frames, int w, int h,
+                      int n, double fps, int keyint, int refs, int bframes) {
+  return mvenc_encode_gray2(path, frames, w, h, n, fps, keyint, refs, bframes,
+                            0);
 }
 
 }  // extern "C"

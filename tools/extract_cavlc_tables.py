@@ -80,6 +80,21 @@ run_bits_base = rb7 - 16 * 6
 run_bits = [grab(run_bits_base + 16 * t, 16) for t in range(7)]
 
 
+# --- coded_block_pattern me(v) mapping (Table 9-4) ---------------------------
+# codeNum -> CBP for Intra_4x4/Intra_8x8 and Inter prediction modes. 48-entry
+# permutations of 0..47; anchored on their distinctive openings.
+cbp_intra0 = find([47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14], "golomb_to_intra4x4_cbp")
+golomb_to_intra4x4_cbp = grab(cbp_intra0, 48)
+cbp_inter0 = find([0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7], "golomb_to_inter_cbp")
+golomb_to_inter_cbp = grab(cbp_inter0, 48)
+for tag, t in (
+    ("golomb_to_intra4x4_cbp", golomb_to_intra4x4_cbp),
+    ("golomb_to_inter_cbp", golomb_to_inter_cbp),
+):
+    if sorted(t) != list(range(48)):
+        raise SystemExit(f"{tag}: not a permutation of 0..47")
+
+
 # --- structural validation ---------------------------------------------------
 def check_vlc(lens, bits, counts, tag):
     """prefix-free + complete over the valid entries.
@@ -181,6 +196,8 @@ namespace h264cavlc {{
 {fmt2d("kChromaDcTotalZerosBits", chroma_dc_total_zeros_bits, 4)}
 {fmt2d("kRunLen", run_len, 16)}
 {fmt2d("kRunBits", run_bits, 16)}
+{fmt1d("kGolombToIntra4x4Cbp", golomb_to_intra4x4_cbp)}
+{fmt1d("kGolombToInterCbp", golomb_to_inter_cbp)}
 
 }}  // namespace h264cavlc
 """
