@@ -389,12 +389,19 @@ class System:
             # (_patch_inputs), so the window tracks at most one KF stale
             # without any blocking commit; the host graph catches up when
             # the window replays (or at the next keyframe's process_one).
+            # When NO speculative window dispatches (I-frame at head, short
+            # tail), nothing carries the patch: commit any finished deferred
+            # job after the replay (non-blocking — an unfinished job lands
+            # at the next dispatch/process_one) so per-frame fallbacks don't
+            # track a snapshot missing the last keyframe's triangulations.
             spec_run = self._collect_run(todo, speculative=True)
             spec = (
                 self._dispatch_window(spec_run, carry=self._wf)
                 if spec_run is not None else None
             )
             poses, consumed, clean = self._replay_window(self._wf)
+            if spec is None:
+                self.mapper.poke_commit(blocking=False)
             results.extend(poses)
             unconsumed = self._wf["run"][consumed:]
             self._wf = None
@@ -492,9 +499,20 @@ class System:
             # ending before it is clean too (no KF inside). Never straddle
             # when a shorter window can avoid it.
             L = min(L, 1 << ((offs[0] + 1).bit_length() - 1))
-        # offs[0] == 0: the KF is due at the window's first frame — any
-        # window straddles it; accept (staleness is W-1 frames, the
-        # no-rewind replay tolerates it and the next window realigns).
+        elif offs and offs[0] == 0 and len(run) >= self.window:
+            # The KF is due at the window's FIRST frame. Accepting locks the
+            # schedule into its worst phase: with the mature-map cooldown
+            # equal to the window length, KFs and window boundaries are both
+            # W-periodic, so every subsequent window starts on a keyframe
+            # and W-1 frames track a stale snapshot (measured: 19/22 windows
+            # phase-locked at offset 0, inlier decay + rewinds). Decline the
+            # window — the head frame goes through the per-frame path, which
+            # shifts the window phase by one so the NEXT windows end exactly
+            # ON their keyframes (offset W-1, zero staleness), a stable
+            # alignment. One per-frame dispatch per lock event.
+            if self._prof is not None:
+                self._prof["pred_kf_realign"] += 1
+            return None
         run = run[:L]
         if self._prof is not None:
             o0 = offs[0] if offs else -1
