@@ -372,6 +372,10 @@ class LocalMapping:
         self._finish = False
         self._processing = False
         self.enable_merge = True
+        # Redundant-keyframe culling (see _keyframe_culling): bounds map
+        # growth on long runs.
+        self.enable_kf_culling = True
+        self.n_culled_kfs = 0
         # Visual-inertial hook (core/inertial.py): set by System when the
         # sensor is IMU_MONOCULAR. The reference's equivalent —
         # LocalMapping::ScaleRefinement -> InertialOptimization — is never
@@ -475,6 +479,18 @@ class LocalMapping:
         # asynchronously and has been overlapping with tracking.
         self._commit_pending_ba()
         self._commit_deferred()
+        # Redundant-keyframe culling runs HERE — after the previous cycle's
+        # deferred device work landed (so no in-flight BA job references the
+        # graph) and before the new keyframe mutates covisibility. One-cycle
+        # lag vs the reference's post-LBA placement, same steady state.
+        if (
+            self.enable_kf_culling
+            and self.current_kf is not None
+            and not self.current_kf.bad
+            and self.current_kf.map_id == self.atlas.current.id
+        ):
+            with self.map_lock:
+                self._keyframe_culling(self.atlas.current, self.current_kf)
         with self.map_lock:
             if not self.queue:
                 return
@@ -562,6 +578,45 @@ class LocalMapping:
                 try_merge(self.atlas)
 
     # --- stages -----------------------------------------------------------
+    def _keyframe_culling(self, m, kf):
+        """Redundant-keyframe removal — LocalMapping::KeyFrameCulling is
+        declared but never defined in the reference (LocalMapping.h:131);
+        this implements the ORB-SLAM3 policy that declaration points at: a
+        local keyframe is redundant when >=90% of its tracked map points are
+        observed by at least 3 OTHER keyframes. Bounds keyframe growth on
+        long runs (the reference's maps grow without bound), keeping the
+        snapshot/LBA caps covering the live map instead of silently
+        truncating. Culled keyframes keep a Tcp parent-chain record
+        (KeyFrame.set_bad) so trajectory savers still emit every frame id."""
+        protected = {kf.id}
+        if kf.prev_kf is not None:
+            protected.add(kf.prev_kf.id)
+        for org in m.kf_origins:
+            protected.add(org.id)
+        inertial = getattr(m, "imu_initialized", False)
+        for cand in kf.best_covisible(m, 30):
+            if cand.id in protected or cand.bad:
+                continue
+            if inertial and cand.prev_kf is not None and cand.next_kf is not None:
+                # Keep the preintegration chain dense enough (ORB-SLAM3's
+                # 3 s gap guard for inertial maps).
+                if cand.next_kf.timestamp - cand.prev_kf.timestamp > 3.0:
+                    continue
+            n_mps = 0
+            n_red = 0
+            for mid in cand.mp_ids:
+                if mid < 0:
+                    continue
+                mp = m.mappoints.get(int(mid))
+                if mp is None or mp.bad:
+                    continue
+                n_mps += 1
+                if mp.n_obs() > 3:  # this KF + at least 3 others
+                    n_red += 1
+            if n_mps > 10 and n_red > 0.9 * n_mps:
+                cand.set_bad(m)
+                self.n_culled_kfs += 1
+
     def _process_new_keyframe(self, kf, m):
         """LocalMapping::ProcessNewKeyFrame (LocalMapping.cc:171-212)."""
         touched = []

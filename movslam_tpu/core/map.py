@@ -353,6 +353,12 @@ class KeyFrame:
                     ch.parent = anchor
                     anchor.children.add(ch_id)
             self.children.clear()
+        # Relink the temporal odometry chain around the removed keyframe
+        # (KeyFrame::SetBadFlag mPrevKF/mNextKF surgery).
+        if self.prev_kf is not None and self.prev_kf.next_kf is self:
+            self.prev_kf.next_kf = self.next_kf
+        if self.next_kf is not None and self.next_kf.prev_kf is self:
+            self.next_kf.prev_kf = self.prev_kf
         mp_map.keyframes.pop(self.id, None)
         mp_map.culled_keyframes[self.id] = self
 

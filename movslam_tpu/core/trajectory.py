@@ -134,8 +134,19 @@ def frame_trajectory(tracking):
     ):
         if ref_kf is None:
             continue
-        R_cw = R_rel @ ref_kf.R
-        t_cw = R_rel @ ref_kf.t + t_rel
+        # A culled reference keyframe's pose is frozen at cull time (BA no
+        # longer updates it): accumulate its Tcp records up the parent chain
+        # to a live ancestor, exactly like the KITTI saver / System.cc:760.
+        R_acc = R_rel
+        t_acc = t_rel
+        node = ref_kf
+        while node.bad and node.Tcp is not None and node.parent is not None:
+            R_cp, t_cp = node.Tcp
+            t_acc = R_acc @ t_cp + t_acc
+            R_acc = R_acc @ R_cp
+            node = node.parent
+        R_cw = R_acc @ node.R
+        t_cw = R_acc @ node.t + t_acc
         yield ts, R_cw, t_cw, lost
 
 

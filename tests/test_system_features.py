@@ -166,3 +166,48 @@ def test_global_bundle_adjustment():
     # GBA prunes chi2>5 obs and re-optimizes: mean residual must not blow up.
     assert after <= before * 1.5 + 1e-6
     system.shutdown()
+
+
+@pytest.mark.slow
+def test_keyframe_culling_bounds_map_growth():
+    """LocalMapping::KeyFrameCulling (declared-but-dead in the reference,
+    LocalMapping.h:131; ORB-SLAM3 policy): redundant local keyframes are
+    removed on long runs, the trajectory savers still emit every frame
+    (culled references resolve through the Tcp parent chain), and accuracy
+    is unharmed."""
+    from movslam_tpu.io.synthetic import SyntheticStream
+
+    stream = SyntheticStream(n_points=400, seed=42)
+    items = [(f.timestamp, f) for f in [stream.frame(k) for k in range(160)]]
+    sys_w = System(_settings(), MONOCULAR)
+    k = 0
+    while k < len(items):
+        sys_w.track_monocular_batch(items[k : k + 8])
+        k += 8
+    sys_w.shutdown()
+    assert sys_w.get_total_lost() == 0
+    m = sys_w.atlas.current
+    n_culled = sys_w.mapper.n_culled_kfs
+    assert n_culled > 0, "no keyframes culled on a 160-frame run"
+    assert len(m.culled_keyframes) == n_culled
+    # Savers: every post-initialization frame still resolves to a pose
+    # (monocular init consumes the first 2-3 frames).
+    traj = sys_w.frame_trajectory()
+    assert len(traj) >= len(items) - 4
+    # Culled KFs resolve through live ancestors: all poses finite.
+    for ts, R, t, lost in traj:
+        assert np.isfinite(R).all() and np.isfinite(t).all()
+    # Scale-aligned ATE stays within the golden band despite culling.
+    from evaluation.evaluator import umeyama_alignment
+
+    est, gt = [], []
+    for ts, R, t, lost in traj:
+        est.append(-(R.T @ t))
+        R_gt, t_gt = stream.gt_pose(round(ts * 30.0))
+        gt.append(-(R_gt.T @ t_gt))
+    est, gt = np.array(est), np.array(gt)
+    s, Ra, ta = umeyama_alignment(gt, est, with_scale=True)
+    resid = gt - (s * est @ Ra.T + ta)
+    ate = float(np.sqrt(np.mean(np.sum(resid**2, axis=1))))
+    span = float(np.linalg.norm(np.ptp(gt, axis=0)))
+    assert ate / span < 0.05, (ate, span, n_culled)
