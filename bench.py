@@ -79,7 +79,46 @@ def main():
     fps = seg_fps[len(seg_fps) // 2]
     dt = n_timed / fps
     lost = system.get_total_lost()
-    baseline_fps = 30.0  # reference real-time rate on CPU
+
+    # Scale-aligned ATE against the stream's ground truth (the BASELINE.md
+    # accuracy metric), computed from the saver-semantics trajectory.
+    from evaluation.evaluator import umeyama_alignment
+
+    est, gt = [], []
+    for ts, R, t, lost_f in system.frame_trajectory():
+        est.append(-(R.T @ t))
+        R_gt, t_gt = stream.gt_pose(round(ts * 30.0))
+        gt.append(-(R_gt.T @ t_gt))
+    est, gt = np.array(est), np.array(gt)
+    sc, Ra, ta = umeyama_alignment(gt, est, with_scale=True)
+    resid = gt - (sc * est @ Ra.T + ta)
+    ate = float(np.sqrt(np.mean(np.sum(resid**2, axis=1))))
+    span = float(np.linalg.norm(np.ptp(gt, axis=0)))
+
+    # Per-keyframe fused mapper cost (triangulation + local BA dispatch) —
+    # the BASELINE.md lba_ms row.
+    lba = sorted(system.mapper.lba_ms)
+    lba_ms = lba[len(lba) // 2] if lba else None
+
+    # Baseline: MEASURED CPU front-end rate from tools/run_baseline.py
+    # (reference hot loop re-executed with its own OpenCV solver calls on
+    # this host), falling back to the 30 fps real-time operating point the
+    # reference paces itself to (mono_video_tartan.cc:73-93).
+    baseline_fps, baseline_src = 30.0, "30fps stream pacing (not measured)"
+    try:
+        with open(
+            __file__.replace("bench.py", "BASELINE_MEASURED.json")
+        ) as f:
+            meas = json.load(f)
+        baseline_fps = float(meas["fps"])
+        baseline_src = (
+            f"measured CPU front-end: {meas['mean_track_ms']:.1f} ms/frame "
+            f"({baseline_fps:.1f} fps), lba {meas['lba_ms_per_iter']:.1f} "
+            f"ms/iter (tools/baseline_cpu.cc)"
+        )
+    except (OSError, KeyError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -92,7 +131,12 @@ def main():
                     "mean_track_ms": round(1e3 * dt / n_timed, 2),
                     "lost_frames": lost,
                     "keyframes": system.atlas.current.n_keyframes(),
+                    "culled_keyframes": system.mapper.n_culled_kfs,
                     "mappoints": system.atlas.current.n_mappoints(),
+                    "ate_rmse_m": round(ate, 4),
+                    "ate_pct_of_span": round(100 * ate / span, 2),
+                    "mapper_ms_per_kf": round(lba_ms, 2) if lba_ms else None,
+                    "baseline": baseline_src,
                 },
             }
         )
