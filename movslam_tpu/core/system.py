@@ -394,12 +394,22 @@ class System:
             # job after the replay (non-blocking — an unfinished job lands
             # at the next dispatch/process_one) so per-frame fallbacks don't
             # track a snapshot missing the last keyframe's triangulations.
+            # PULL FIRST: the tunnel link is effectively a serial RPC channel
+            # (measured: a prefetched wire queued behind the next window's
+            # ~60 ms upload blocks the replay for that whole upload). Landing
+            # the in-flight window's wire BEFORE enqueueing the speculative
+            # window's uploads cuts the blocking wait to the compute
+            # stragglers only; the spec dispatch then overlaps the replay.
+            t0 = time.perf_counter()
+            wire_np = np.asarray(self._wf["out"]["wire"])
+            if self._prof is not None:
+                self._prof["pull_early"] += time.perf_counter() - t0
             spec_run = self._collect_run(todo, speculative=True)
             spec = (
                 self._dispatch_window(spec_run, carry=self._wf)
                 if spec_run is not None else None
             )
-            poses, consumed, clean = self._replay_window(self._wf)
+            poses, consumed, clean = self._replay_window(self._wf, wire_np)
             if spec is None:
                 self.mapper.poke_commit(blocking=False)
             results.extend(poses)
@@ -691,9 +701,12 @@ class System:
             "sched_exit": (start + len(run), cool_x, lastkf_x),
         }
 
-    def _replay_window(self, wf):
+    def _replay_window(self, wf, wire_np=None):
         """Pull one in-flight window's result wire (the single host<->device
         sync point) and replay it through the Tracking state machine.
+        wire_np: the wire already pulled by the caller (the pipelined drive
+        pulls before dispatching the next window so the pull isn't queued
+        behind that window's uploads on the serial tunnel channel).
         Returns (poses, consumed, clean): clean=True iff every frame was
         consumed with tracking still OK — i.e. a window speculatively
         chained on this one's device carry is valid."""
@@ -735,7 +748,7 @@ class System:
             )
 
         C = packed_cols(self._has_dist, stereo)
-        wire = np.asarray(out["wire"])
+        wire = np.asarray(out["wire"]) if wire_np is None else wire_np
         if prof is not None:
             prof["rep_wire_pull"] += _t() - t0
         N = self.extractor.capacity

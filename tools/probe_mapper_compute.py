@@ -74,10 +74,13 @@ def main():
          obp.reshape(-1).astype(np.float32)]
     )
 
-    tri_wire = np.zeros((TRI_CAP + 1, 16), np.float32)
+    tri_wire = np.zeros((TRI_CAP + 1, 32), np.float32)
     tri_wire[0, 0:12] = np.eye(3, 4).reshape(-1)
+    tri_wire[0, 12:21] = np.eye(3).reshape(-1)
     tri_wire[1:, 0:12] = np.tile(np.eye(3, 4).reshape(-1), (TRI_CAP, 1))
     tri_wire[1:, 12:16] = rng.uniform(0, 480, (TRI_CAP, 4))
+    tri_wire[1:, 16:25] = np.eye(3).reshape(-1)
+    tri_wire[1:, 29] = 1.0
 
     intr = jnp.asarray([320.0, 320.0, 320.0, 240.0], jnp.float32)
     tri_dev = jnp.asarray(tri_wire)
@@ -85,7 +88,26 @@ def main():
 
     bench(
         lambda a, b: mapper_step_wire(a, b, intr, 0.0),
-        tri_dev, ba_dev, label="mapper_step_wire (tri+BA)",
+        tri_dev, ba_dev, label="mapper_step_wire BIG (tri+BA)",
+    )
+    # SMALL size class (the common live dispatch).
+    from movslam_tpu.ops.mapper_step import MAPPER_SMALL
+
+    Cs, Ks, Ps, Os = (
+        MAPPER_SMALL["C"], MAPPER_SMALL["K"], MAPPER_SMALL["P"],
+        MAPPER_SMALL["O"],
+    )
+    ba_small = np.concatenate(
+        [
+            kf_pack[:Ks].reshape(-1), mp_pack[:Ps].reshape(-1),
+            obs_pack[:Os].reshape(-1),
+            obp[:Ps].reshape(-1).astype(np.float32),
+        ]
+    )
+    bench(
+        lambda a, b: mapper_step_wire(a, b, intr, 0.0, C=Cs, K=Ks, P=Ps, O=Os),
+        jnp.asarray(tri_wire[: Cs + 1]), jnp.asarray(ba_small),
+        label="mapper_step_wire SMALL",
     )
     bench(
         lambda b: ba_solve_wire(b, intr, 0.0, K=K, P=P, O=O, MOPP=MOPP),

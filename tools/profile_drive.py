@@ -90,12 +90,12 @@ def main():
     rewinds = [0]
     orig_replay = system._replay_window
 
-    def replay_probe(wf):
+    def replay_probe(wf, wire_np=None):
         t0 = time.perf_counter()
         _ = np.asarray(wf["out"]["wire"])  # the actual D2H sync
         ACC["wire_pull"] += time.perf_counter() - t0
         CNT["wire_pull"] += 1
-        out = orig_replay(wf)
+        out = orig_replay(wf, wire_np)
         if not out[2]:
             rewinds[0] += 1
         return out
