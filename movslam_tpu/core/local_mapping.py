@@ -392,6 +392,16 @@ class LocalMapping:
         self.defer_mapping = False
         self.defer_min_kfs = 8
         self._deferred = None
+        # Window-fused mapping (the windowed drive's steady-state mode): a
+        # SMALL-class mapper job is STAGED as host wires instead of being
+        # dispatched standalone; the next window dispatch inlines it into the
+        # window program (ops/window_step mtri/mba inputs) so its uploads,
+        # compute, patch and result all ride the window's own transfers —
+        # zero extra round trips on the serial tunnel link. Jobs no window
+        # consumes fall back to the standalone dispatch at the next blocking
+        # commit point.
+        self.fuse_mapper = False
+        self._staged = None
         # Live visual-inertial local BA (ops/vi_ba): once the map is
         # IMU-initialized, local BA jointly optimizes poses + velocities +
         # biases with preintegrated inertial edges along the temporal
@@ -522,7 +532,21 @@ class LocalMapping:
         if deferred:
             if tri_job is not None or ba_job is not None:
                 t0 = _time.perf_counter()
-                self._dispatch_mapper_step(tri_job, ba_job, m)
+                size = self._mapper_size_class(tri_job, ba_job)
+                from ..ops.mapper_step import MAPPER_SMALL
+
+                if self.fuse_mapper and size is MAPPER_SMALL:
+                    # Stage for the next window dispatch (window-fused mode).
+                    tri_w, ba_w = self._build_mapper_wires(
+                        tri_job, ba_job, size
+                    )
+                    tri_w[0, 30] = 1.0  # in-program on/off flag
+                    self._staged = {
+                        "tri_wire": tri_w, "ba_wire": ba_w,
+                        "tri": tri_job, "ba": ba_job, "map": m, "size": size,
+                    }
+                else:
+                    self._dispatch_mapper_step(tri_job, ba_job, m)
                 self.lba_ms.append(1e3 * (_time.perf_counter() - t0))
                 self.lba_count += 1
         elif not self.queue and m.n_keyframes() > 2:
@@ -846,10 +870,22 @@ class LocalMapping:
         # maps device-patched snapshot rows (n_base + i) back to the host
         # objects through this record (core/system._replay_window).
         created_map = {}
+        # Map-level track-id dedup: with window-fused mapping, keyframe n's
+        # job is PREPARED before keyframe n-1's result lands in the host
+        # graph (it rides the next window's wire), so both jobs can carry the
+        # same not-yet-mapped track. The per-slot claim checks below can't
+        # see that — a second MapPoint on one track id would corrupt the
+        # track-id join (snapshot searchsorted picks arbitrarily).
+        live_tids = {
+            mp.track_id for mp in m.mappoints.values() if not mp.bad
+        }
         for i in np.flatnonzero(good):
             kf2, s1_, s2_ = cand[i]
             if kf1.mp_ids[s1_] >= 0 or kf2.mp_ids[s2_] >= 0:
                 continue  # claimed by an earlier pair this round
+            if int(kf2.track_ids[s2_]) in live_tids:
+                continue  # mapped by a job committed since this one's prep
+            live_tids.add(int(kf2.track_ids[s2_]))
             mp = MapPoint(X[i], kf1.id, int(kf2.track_ids[s2_]), m.id)
             mp.add_observation(kf1, int(s1_))
             mp.add_observation(kf2, int(s2_))
@@ -1186,25 +1222,24 @@ class LocalMapping:
             "small": small,
         }
 
-    def _dispatch_mapper_step(self, tri_job, ba_job, m):
-        """Dispatch the fused triangulation+BA program (ops/mapper_step) for
-        this keyframe; the result is pulled and committed at the NEXT
-        keyframe (process_one -> _commit_deferred), fully overlapping the
-        tracking of the frames in between."""
-        from ..ops.mapper_step import (
-            BA_MOPP, MAPPER_BIG, MAPPER_SMALL, mapper_step_wire,
-        )
+    def _mapper_size_class(self, tri_job, ba_job):
+        """One size class per dispatch: the BA prep already folded the tri
+        side into its SMALL decision; without a BA job the tri count alone
+        picks the class."""
+        from ..ops.mapper_step import MAPPER_BIG, MAPPER_SMALL
 
-        # One size class per dispatch: the BA prep already folded the tri
-        # side into its SMALL decision; without a BA job the tri count alone
-        # picks the class.
         if ba_job is not None:
-            size = MAPPER_SMALL if ba_job.get("small") else MAPPER_BIG
-        else:
-            n_tri = len(tri_job["cand"]) if tri_job is not None else 0
-            size = MAPPER_SMALL if n_tri <= MAPPER_SMALL["C"] else MAPPER_BIG
-        C, K, P, O = size["C"], size["K"], size["P"], size["O"]
+            return MAPPER_SMALL if ba_job.get("small") else MAPPER_BIG
+        n_tri = len(tri_job["cand"]) if tri_job is not None else 0
+        return MAPPER_SMALL if n_tri <= MAPPER_SMALL["C"] else MAPPER_BIG
 
+    def _build_mapper_wires(self, tri_job, ba_job, size):
+        """Assemble the host-side tri/BA wires of one keyframe's fused mapper
+        job (consumed by ops/mapper_step.mapper_body — standalone dispatch or
+        inlined into a window program). Returns (tri_wire, ba_wire) np f32."""
+        from ..ops.mapper_step import BA_MOPP
+
+        C, K, P, O = size["C"], size["K"], size["P"], size["O"]
         tri_wire = np.zeros((C + 1, 32), np.float32)
         if tri_job is not None:
             n = len(tri_job["cand"])
@@ -1238,6 +1273,18 @@ class LocalMapping:
             ba_wire = np.zeros(
                 K * 14 + P * 4 + O * 6 + P * BA_MOPP, np.float32
             )
+        return tri_wire, ba_wire
+
+    def _dispatch_mapper_step(self, tri_job, ba_job, m):
+        """Dispatch the fused triangulation+BA program (ops/mapper_step) for
+        this keyframe; the result is pulled and committed at the NEXT
+        keyframe (process_one -> _commit_deferred), fully overlapping the
+        tracking of the frames in between."""
+        from ..ops.mapper_step import mapper_step_wire
+
+        size = self._mapper_size_class(tri_job, ba_job)
+        C, K, P, O = size["C"], size["K"], size["P"], size["O"]
+        tri_wire, ba_wire = self._build_mapper_wires(tri_job, ba_job, size)
         cam = self.camera
         out = mapper_step_wire(
             jnp.asarray(tri_wire),
@@ -1280,9 +1327,72 @@ class LocalMapping:
         self._commit_pending_ba()
         self._commit_deferred(blocking=blocking)
 
+    # --- window-fused staging (ops/window_step mtri/mba section) -----------
+    def take_staged(self, m):
+        """Pop the staged window-fused mapper job if it belongs to map m.
+        The caller (System._dispatch_window) inlines it into the window
+        program and commits it from the window's result wire at replay."""
+        st = self._staged
+        if st is None or st["map"] is not m:
+            return None
+        self._staged = None
+        return st
+
+    def restage(self, st):
+        """Put a taken-but-unexecuted job back (the speculative window that
+        carried it was discarded after a rewind). The job's wires are pure
+        host data — re-running them later commits the same result."""
+        if st is not None and not st.get("committed"):
+            self._staged = st
+
+    def commit_fused(self, st, X, out_kf, out_mp, out_obs):
+        """Commit a window-fused mapper job from the window wire's trailing
+        mapper section (same writeback as _commit_deferred, host-array
+        inputs)."""
+        st["committed"] = True
+        m = st["map"]
+        if m is not self.atlas.current:
+            return
+        with self.map_lock:
+            if st["tri"] is not None:
+                self._commit_triangulation(st["tri"], X.astype(np.float64), m)
+            if st["ba"] is not None:
+                ba = st["ba"]
+                commit_ba_result(
+                    (out_kf, out_mp, out_obs), ba["obs_meta"], ba["kfs"],
+                    ba["mps"], ba["kf_fixed"], m,
+                )
+
+    def dispatch_staged_async(self):
+        """Launch a staged job through the standalone program WITHOUT
+        blocking on its result (the windowed drive calls this when no
+        speculative window dispatches to carry the job — ADVICE r3: the
+        per-frame fallback frames that follow would otherwise track a
+        snapshot missing the last keyframe's triangulations forever). The
+        result commits at the next poke/process_one like any deferred job."""
+        if self._staged is None or self._deferred is not None:
+            return
+        st, self._staged = self._staged, None
+        if st["map"] is self.atlas.current:
+            self._dispatch_mapper_step(st["tri"], st["ba"], st["map"])
+
+    def _flush_staged(self):
+        """A staged job no window consumed (per-frame fallback stretch, map
+        switch, shutdown): run it through the standalone program now."""
+        st, self._staged = self._staged, None
+        if st is None:
+            return
+        self._commit_deferred()  # land any earlier standalone job first
+        if st["map"] is self.atlas.current:
+            self._dispatch_mapper_step(st["tri"], st["ba"], st["map"])
+
     def _commit_deferred(self, blocking=True):
         """Pull + commit the previous keyframe's fused mapper result: insert
-        the gated triangulations, then write back the BA solution."""
+        the gated triangulations, then write back the BA solution. A staged
+        window-fused job is first converted to a standalone dispatch when
+        blocking (it must land before graph work that assumes it did)."""
+        if blocking and self._staged is not None:
+            self._flush_staged()
         d = self._deferred
         if d is None:
             return

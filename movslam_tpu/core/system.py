@@ -71,6 +71,7 @@ class System:
         self._wf = None
         self._pending = []
         self._zero_patch = None  # cached no-op snapshot-patch arrays
+        self._zero_mwires = None  # cached no-op fused-mapper wires
         # Optional sub-stage profiling accumulator (tools/profile_drive.py):
         # set to a defaultdict(float) to collect per-stage seconds.
         self._prof = None
@@ -214,13 +215,24 @@ class System:
                 )
             return self._zero_patch + (None,)
 
+        return (
+            d["out"]["patch_tri"], d["out"]["patch_mp"],
+            jnp.asarray(self._ba_patch_meta(snap, d.get("ba"))), d,
+        )
+
+    @staticmethod
+    def _ba_patch_meta(snap, ba):
+        """Patch row metadata for a mapper job's BA side: meta[0] = base-row
+        count for the triangulation rows, meta[1:] = BA point -> base
+        snapshot row by track id (first-wins order matches the device's
+        stable searchsorted); SNAP_CAP rows drop."""
+        from ..ops.frame_step import SNAP_CAP
+        from ..ops.mapper_step import P_PATCH
+
         n_base = len(snap.mps)
         meta = np.full(P_PATCH + 1, SNAP_CAP, np.float32)  # cap row = drop
         meta[0] = n_base
-        ba = d.get("ba")
         if ba is not None and n_base:
-            # BA point -> base snapshot row by track id (first-wins order
-            # matches the device's stable searchsorted).
             order = np.argsort(snap.tids, kind="stable")
             sorted_tids = snap.tids[order]
             tids = np.fromiter(
@@ -232,10 +244,7 @@ class System:
             meta[1 : len(tids) + 1] = np.where(
                 hit, order[pos_c], SNAP_CAP
             ).astype(np.float32)
-        return (
-            d["out"]["patch_tri"], d["out"]["patch_mp"],
-            jnp.asarray(meta), d,
-        )
+        return meta
 
     def _track_monocular_fused(self, timestamp, smv, img_dev):
         """One-dispatch frame path (ops/frame_step): OK-state frames only."""
@@ -411,6 +420,10 @@ class System:
             )
             poses, consumed, clean = self._replay_window(self._wf, wire_np)
             if spec is None:
+                # No speculative window will carry a staged mapper job or
+                # the deferred patch: launch any staged job standalone now
+                # (async) and land whatever already finished.
+                self.mapper.dispatch_staged_async()
                 self.mapper.poke_commit(blocking=False)
             results.extend(poses)
             unconsumed = self._wf["run"][consumed:]
@@ -420,8 +433,13 @@ class System:
             if spec is not None and clean:
                 self._wf = spec
                 del todo[: len(spec_run)]
-            # not clean: the speculative window chained on a rewound carry —
-            # discard it; its frames are still at the head of todo.
+            elif spec is not None:
+                # Not clean: the speculative window chained on a rewound
+                # carry — discard it; its frames are still at the head of
+                # todo. A window-fused mapper job it carried never commits
+                # from a discarded wire: put it back for the next dispatch
+                # (its wires are pure host data, re-running is free).
+                self.mapper.restage(spec.get("fused_job"))
         if flush and self._wf is not None:
             poses, consumed, _ = self._replay_window(self._wf)
             results.extend(poses)
@@ -576,6 +594,7 @@ class System:
         # triangulation/BA overlap the next window's tracking).
         self.mapper.throttle_mode = "frames"
         self.mapper.defer_mapping = True
+        self.mapper.fuse_mapper = True
         # Adaptive cadence: a young map needs dense keyframes (losses at
         # sparse cadence happen in the first seconds); a mature one gets a
         # cooldown of exactly the window length, so the deterministic KF
@@ -588,10 +607,8 @@ class System:
         n_mvs = None
         for it in run:
             smv = it[1]
-            mvk, m = smv.packed_joint()
-            trailer = np.zeros((2, 8), np.float32)
-            trailer.reshape(-1)[12] = smv.coverage_area
-            mvks.append(np.concatenate([mvk, trailer]))
+            mvk, m = smv.packed_joint_i16()
+            mvks.append(mvk)
             n_mvs = m if n_mvs is None else n_mvs
             assert m == n_mvs, "mixed MV capacities within a window"
         if prof is not None:
@@ -618,6 +635,40 @@ class System:
         if snap is None:
             return None
         patch_tri, patch_mp, patch_meta, patch_job = self._patch_inputs(snap)
+        # Window-fused mapper: the keyframe staged at the last replay rides
+        # THIS dispatch (wires up, patch in-program, result on the window
+        # wire — see ops/window_step). Mutually exclusive with a pending
+        # standalone job per cycle; zero-filled wires otherwise (the
+        # in-program flag mtri[0,30] gates the patch).
+        staged = self.mapper.take_staged(self.atlas.current)
+        if staged is not None and patch_job is not None:
+            # Both pending can only happen after an irregular schedule (e.g.
+            # a standalone BIG job still in flight when a SMALL one staged):
+            # land the standalone one now so one patch source remains.
+            self.mapper.poke_commit(blocking=True)
+            patch_tri, patch_mp, patch_meta, patch_job = (
+                self._patch_inputs(snap)
+            )
+        if staged is not None:
+            mtri = jnp.asarray(staged["tri_wire"])
+            mba = jnp.asarray(staged["ba_wire"])
+            patch_meta = jnp.asarray(
+                self._ba_patch_meta(snap, staged.get("ba"))
+            )
+        else:
+            if self._zero_mwires is None:
+                from ..ops.mapper_step import BA_MOPP, MAPPER_SMALL
+
+                sz = MAPPER_SMALL
+                self._zero_mwires = (
+                    jnp.zeros((sz["C"] + 1, 32), jnp.float32),
+                    jnp.zeros(
+                        sz["K"] * 14 + sz["P"] * 4 + sz["O"] * 6
+                        + sz["P"] * BA_MOPP,
+                        jnp.float32,
+                    ),
+                )
+            mtri, mba = self._zero_mwires
         if prof is not None:
             prof["disp_commit_snap"] += _t() - t0
             t0 = _t()
@@ -657,6 +708,8 @@ class System:
             patch_tri=patch_tri,
             patch_mp=patch_mp,
             patch_meta=patch_meta,
+            mtri=mtri,
+            mba=mba,
             capacity=self.extractor.capacity,
             max_cov=512,
             has_dist=self._has_dist,
@@ -697,7 +750,8 @@ class System:
         return {
             "out": out, "run": run, "snap": snap, "imgs_dev": imgs_dev,
             "stereo": stereo, "n_mvs": n_mvs,
-            "patch_job": patch_job, "n_base": len(snap.mps),
+            "patch_job": patch_job, "fused_job": staged,
+            "n_base": len(snap.mps),
             "sched_exit": (start + len(run), cool_x, lastkf_x),
         }
 
@@ -722,11 +776,29 @@ class System:
         tr = self.tracking
 
         # The window tracked against base + device patch (pending deferred
-        # mapper results). Make sure that job reached the host graph (it
-        # normally did, at the keyframe processed between this window's
-        # dispatch and now; the poke covers keyframe-less gaps) and extend
-        # the snapshot's host view so patched rows resolve to MapPoints.
-        patch_job = wf.get("patch_job")
+        # mapper results, or the window-FUSED mapper job whose result rides
+        # this very wire). Make sure that job reached the host graph (the
+        # fused one commits here, from the wire's trailing mapper section;
+        # a standalone one normally landed at the keyframe processed between
+        # this window's dispatch and now, with the poke covering
+        # keyframe-less gaps) and extend the snapshot's host view so patched
+        # rows resolve to MapPoints.
+        if wire_np is None:
+            wire_np = np.asarray(out["wire"])  # the ONE pull
+        fused_job = wf.get("fused_job")
+        if fused_job is not None and not fused_job.get("committed"):
+            from ..ops.mapper_step import MAPPER_SMALL, split_mapper_wire
+
+            sz = MAPPER_SMALL
+            mlen = (
+                sz["C"] * 3 + sz["K"] * 12 + sz["P"] * 3 + sz["O"] * 2
+            )
+            X, out_kf, out_mp, out_obs = split_mapper_wire(
+                wire_np[-mlen:],
+                C=sz["C"], K=sz["K"], P=sz["P"], O=sz["O"],
+            )
+            self.mapper.commit_fused(fused_job, X, out_kf, out_mp, out_obs)
+        patch_job = fused_job if fused_job is not None else wf.get("patch_job")
         if patch_job is not None:
             from ..ops.mapper_step import C_PATCH
             from .snapshot import MapSnapshot
@@ -748,7 +820,7 @@ class System:
             )
 
         C = packed_cols(self._has_dist, stereo)
-        wire = np.asarray(out["wire"]) if wire_np is None else wire_np
+        wire = wire_np
         if prof is not None:
             prof["rep_wire_pull"] += _t() - t0
         N = self.extractor.capacity
@@ -761,9 +833,10 @@ class System:
         visbits_w = wire[o2:o3].reshape(W, P // 32)
         # The wire carries descriptors for the LAST frame only (the
         # KF-aligned schedule puts the keyframe there); a mid-window KF
-        # pulls its row from the device-resident side channel.
+        # pulls its row from the device-resident side channel. The fused
+        # mapper section trails the descriptors (consumed above).
         desc_last = np.ascontiguousarray(
-            wire[o3:], np.float32
+            wire[o3 : o3 + N * 8], np.float32
         ).view(np.uint32).reshape(N, 8)
 
         if prof is not None:

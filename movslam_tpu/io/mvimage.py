@@ -130,6 +130,32 @@ class MotionVectorImage:
         joint[M:, 0:5] = kps_pack
         return joint, M
 
+    def packed_joint_i16(self):
+        """Half-width upload for the windowed drive: (M+K+1, 8) i16 with the
+        same row layout as packed_joint plus ONE trailer row. Block coords
+        (rects, dindx, valid) are small integers — exact in i16; the per-hop
+        delta is stored in 1/64-pel fixed point (the patched decoder emits
+        motion/4/(ref+1), so ref∈{0,1,3} are exact and other refs round at
+        ~0.008 px — far below the f32 track noise). The trailer row carries
+        coverage_area in Q14. Halving the MV bytes matters because the
+        tunneled device link is the drive's bottleneck resource (~20 MB/s
+        effective: the MV stack was ~25 ms of the ~110 ms window cycle).
+        Returns (arr_i16, M)."""
+        M = self.mv_delta.shape[0]
+        K = self.kps_rect.shape[0]
+        joint = np.zeros((M + K + 1, 8), np.int16)
+        np.clip(
+            np.round(self.mv_delta * 64.0), -32767, 32767,
+            out=joint[:M, 0:2], casting="unsafe",
+        )
+        joint[:M, 2:6] = self.mv_rect
+        joint[:M, 6] = self.mv_dindx
+        joint[: self.n_mvs, 7] = 1
+        joint[M : M + K, 0:4] = self.kps_rect
+        joint[M : M + self.n_kps, 4] = 1
+        joint[M + K, 0] = int(round(self.coverage_area * 16384.0))
+        return joint, M
+
     @property
     def mv_valid(self):
         m = np.zeros((self.mv_delta.shape[0],), bool)

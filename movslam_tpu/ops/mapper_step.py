@@ -151,6 +151,22 @@ def mapper_step_wire(
     device gates and that the host gates away; zero-validity BA rows
     contribute nothing and fixed/invalid keyframes come back unchanged.
     """
+    return mapper_body(
+        tri_wire, ba_wire, intr, bf, K=K, P=P, O=O, MOPP=MOPP, iters=iters
+    )
+
+
+def mapper_body(
+    tri_wire, ba_wire, intr, bf, *, K=BA_K, P=BA_P, O=BA_O,
+    MOPP=BA_MOPP, iters=10,
+):
+    """Traceable mapper computation (triangulation + LM BA + patch bundles).
+
+    Shared by the standalone per-keyframe program above and by the windowed
+    drive, which inlines one keyframe's mapper work into the next window's
+    dispatch (ops/window_step) so the tri/BA wires ride the window's upload
+    and the result rides the window's result wire — zero extra transfers on
+    the serial tunnel link."""
     row0 = tri_wire[0]
     P1 = row0[0:12].reshape(3, 4)
     P2s = tri_wire[1:, 0:12].reshape(-1, 3, 4)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from .frame_step import _frame_program_body, prep_snapshot
+from .mapper_step import MAPPER_SMALL, mapper_body
 
 
 def _apply_patch(snap_fused, patch_tri, patch_mp, patch_meta):
@@ -96,6 +97,8 @@ def tracked_window_step(
     patch_tri=None,
     patch_mp=None,
     patch_meta=None,
+    mtri=None,
+    mba=None,
     *,
     n_mvs,
     reproj_err,
@@ -111,9 +114,11 @@ def tracked_window_step(
     imgs      : (W, H, Wd) u8 — the window's gray frames.
     prev_img  : (H, Wd) u8 — frame before the window (device-resident).
     prev_state: TrackState entering the window.
-    mvk_packs : (W, M+K+2, 8) f32 — per-frame packed_joint() + 2 trailer
-                rows; trailer flat[12] = coverage_area (prior pose slots are
-                ignored: the pose chain is computed on device).
+    mvk_packs : (W, M+K+1, 8) i16 — per-frame packed_joint_i16(): deltas in
+                1/64-pel fixed point, rects/dindx/valid as integers, one
+                trailer row with coverage_area in Q14 (the pose chain is
+                computed on device, so no pose trailer is needed). i16 halves
+                the window's MV upload on the bandwidth-bound tunnel link.
     pose_pack : (25,) f32 — [last_R(9) | last_t(3) | vel_R(9) | vel_t(3) |
                 has_vel(1)]: the pose chain's entry point (last frame's pose
                 plus the host's constant-velocity model if any).
@@ -123,6 +128,27 @@ def tracked_window_step(
     W = imgs.shape[0]
     N = prev_state.pt.shape[0]
     P = snap_fused.shape[0]
+
+    # Fused per-keyframe mapper section: the previous keyframe's
+    # triangulation + local BA (ops/mapper_step.mapper_body) runs INSIDE this
+    # dispatch — its tri/BA wires rode this window's upload, its result rides
+    # this window's result wire, and its patch freshens this window's
+    # snapshot — zero standalone transfers or dispatches on the serial
+    # tunnel link. mtri row 0 col 30 carries the on/off flag (0 = no staged
+    # job: the section computes garbage that the patch gating drops and the
+    # host ignores). Pinned to the SMALL size class; BIG jobs (rare: local
+    # problems beyond 32 KFs / 1024 points) still go through the standalone
+    # mapper_step_wire program and patch via the patch_tri/patch_mp inputs.
+    mwire = None
+    if mtri is not None:
+        m_on = mtri[0, 30] > 0
+        mout = mapper_body(
+            mtri, mba, intr, dist_pack[9] if dist_pack is not None else 0.0,
+            K=MAPPER_SMALL["K"], P=MAPPER_SMALL["P"], O=MAPPER_SMALL["O"],
+        )
+        mwire = mout["wire"]
+        patch_tri = jnp.where(m_on, mout["patch_tri"], patch_tri)
+        patch_mp = jnp.where(m_on, mout["patch_mp"], patch_mp)
 
     # Device-side snapshot patch (pending deferred-mapper results) + ONE
     # sort for the whole window (core/snapshot.py uploads ids in row order).
@@ -139,14 +165,15 @@ def tracked_window_step(
     def body(carry, xs):
         state, p_img, k, l_R, l_t, v_R, v_t, h_v = carry
         if has_stereo:
-            img, mvk, img_r = xs
+            img, mvk_i16, img_r = xs
         else:
-            img, mvk = xs
+            img, mvk_i16 = xs
             img_r = None
-        aux = mvk[-2:].reshape(-1)
-        coverage_area = aux[12]
-        mvk = mvk[:-2]
-        mv_pack = mvk[:n_mvs]
+        coverage_area = mvk_i16[-1, 0].astype(jnp.float32) * (1.0 / 16384.0)
+        mvk = mvk_i16[:-1].astype(jnp.float32)
+        mv_pack = jnp.concatenate(
+            [mvk[:n_mvs, 0:2] * (1.0 / 64.0), mvk[:n_mvs, 2:8]], axis=1
+        )
         kps_pack = mvk[n_mvs:, 0:5]
 
         # Constant-velocity prior (Tracking.cc:414-424): T_prior = T_vel *
@@ -198,21 +225,22 @@ def tracked_window_step(
         ]
     )
 
-    wire = jnp.concatenate(
-        [
-            packed_w.reshape(-1),                       # W*N*packed_cols
-            scalars_w.reshape(-1),                      # W*16
-            visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
-            # LAST frame's descriptors ride the wire as f32-bitcast u32
-            # words: windows are KF-aligned (_collect_run ends them on the
-            # predicted keyframe), so the KF archive needs exactly this
-            # frame. All W frames' descriptors on the wire cost 524 KB of
-            # the scarce ~15-75 MB/s D2H link (over half the pull); a
-            # mid-window KF (schedule miss) pulls its row from the desc_w
-            # side channel instead — a rare extra RTT.
-            jax.lax.bitcast_convert_type(desc_w[-1], jnp.float32).reshape(-1),
-        ]
-    )
+    parts = [
+        packed_w.reshape(-1),                       # W*N*packed_cols
+        scalars_w.reshape(-1),                      # W*16
+        visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
+        # LAST frame's descriptors ride the wire as f32-bitcast u32
+        # words: windows are KF-aligned (_collect_run ends them on the
+        # predicted keyframe), so the KF archive needs exactly this
+        # frame. All W frames' descriptors on the wire cost 524 KB of
+        # the scarce ~15-75 MB/s D2H link (over half the pull); a
+        # mid-window KF (schedule miss) pulls its row from the desc_w
+        # side channel instead — a rare extra RTT.
+        jax.lax.bitcast_convert_type(desc_w[-1], jnp.float32).reshape(-1),
+    ]
+    if mwire is not None:
+        parts.append(mwire)  # fused mapper result (trailing section)
+    wire = jnp.concatenate(parts)
     return {
         "state": state_out,
         "key": key_out,

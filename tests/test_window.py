@@ -160,3 +160,41 @@ def test_golden_ate_windowed():
     # gate sits just above the measured band — it catches the next
     # half-centimeter regression without flaking on rounding mode.
     assert max(ates) < 0.022, ates
+
+
+@pytest.mark.slow
+def test_golden_ate_5seeds_300frames():
+    """The BASELINE accuracy target at sequence length (VERDICT r3 item 5):
+    5 seeds x 300 frames, zero losses, scale-aligned ATE <= 5% of span per
+    seed. Measured band (single-core avx512 CPU backend, 2026-08): 2.45 /
+    2.50 / 3.53 / 3.99 / 3.59 % — the gate sits at the target with ~1%
+    headroom over the worst seed. ~8 min/seed on this host: slow tier."""
+    from evaluation.evaluator import umeyama_alignment
+
+    pcts = {}
+    for seed in (42, 7, 23, 1, 5):
+        stream = SyntheticStream(n_points=400, seed=seed)
+        items = [
+            (f.timestamp, f) for f in (stream.frame(k) for k in range(300))
+        ]
+        sys_w = System(_settings(), MONOCULAR)
+        k = 0
+        while k < len(items):
+            sys_w.track_monocular_batch(items[k : k + 8], flush=False)
+            k += 8
+        sys_w.track_monocular_batch([], flush=True)
+        sys_w.shutdown()
+        assert sys_w.get_total_lost() == 0, seed
+
+        est, gt = [], []
+        for ts, R, t, lost in sys_w.frame_trajectory():
+            est.append(-(R.T @ t))
+            R_gt, t_gt = stream.gt_pose(round(ts * 30.0))
+            gt.append(-(R_gt.T @ t_gt))
+        est, gt = np.array(est), np.array(gt)
+        s, Ra, ta = umeyama_alignment(gt, est, with_scale=True)
+        resid = gt - (s * est @ Ra.T + ta)
+        ate = float(np.sqrt(np.mean(np.sum(resid**2, axis=1))))
+        span = float(np.linalg.norm(np.ptp(gt, axis=0)))
+        pcts[seed] = 100.0 * ate / span
+    assert max(pcts.values()) < 5.0, pcts

@@ -63,19 +63,37 @@ def main():
         mvks = []
         n_mvs = None
         for f in frames[1 : W + 1]:
-            mvk, m = f.packed_joint()
-            trailer = np.zeros((2, 8), np.float32)
-            trailer.reshape(-1)[12] = f.coverage_area
-            mvks.append(np.concatenate([mvk, trailer]))
+            mvk, m = f.packed_joint_i16()
+            mvks.append(mvk)
             n_mvs = m
         mvk_stack = jnp.asarray(np.stack(mvks))
         imgs = jnp.asarray(np.stack([f.im_gray for f in frames[1 : W + 1]]))
         pose_pack = jnp.zeros(25, jnp.float32)
+        from movslam_tpu.ops.mapper_step import BA_MOPP, MAPPER_SMALL
+
+        sz = MAPPER_SMALL
+        mtri = jnp.zeros((sz["C"] + 1, 32), jnp.float32)
+        mba = jnp.zeros(
+            sz["K"] * 14 + sz["P"] * 4 + sz["O"] * 6 + sz["P"] * BA_MOPP,
+            jnp.float32,
+        )
+        from movslam_tpu.ops.mapper_step import C_PATCH, P_PATCH
+        from movslam_tpu.ops.frame_step import SNAP_CAP
+
+        meta = np.full(P_PATCH + 1, SNAP_CAP, np.float32)
+        meta[0] = 0.0
+        patch = (
+            jnp.zeros((C_PATCH, 10), jnp.float32),
+            jnp.zeros((P_PATCH, 3), jnp.float32),
+            jnp.asarray(meta),
+        )
 
         def run():
             return tracked_window_step(
                 imgs, prev_img, st, mvk_stack, pose_pack, snap, intr, key,
-                dist, n_mvs=n_mvs, reproj_err=5.0, threshold=25.0,
+                dist, patch_tri=patch[0], patch_mp=patch[1],
+                patch_meta=patch[2], mtri=mtri, mba=mba,
+                n_mvs=n_mvs, reproj_err=5.0, threshold=25.0,
                 coverage_threshold=0.2, capacity=cap, max_cov=512,
             )
 
