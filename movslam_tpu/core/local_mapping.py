@@ -1341,9 +1341,21 @@ class LocalMapping:
     def restage(self, st):
         """Put a taken-but-unexecuted job back (the speculative window that
         carried it was discarded after a rewind). The job's wires are pure
-        host data — re-running them later commits the same result."""
-        if st is not None and not st.get("committed"):
-            self._staged = st
+        host data — re-running them later commits the same result.
+
+        If a NEWER job was staged in the meantime (a mid-window keyframe
+        processed during the replay that caused the rewind), do not clobber
+        it: dispatch the returned older job through the standalone program
+        now (async) so its triangulation/BA still land, and keep the newer
+        job staged for the next window."""
+        if st is None or st.get("committed"):
+            return
+        if self._staged is not None:
+            self._commit_deferred()  # land any earlier standalone job first
+            if st["map"] is self.atlas.current:
+                self._dispatch_mapper_step(st["tri"], st["ba"], st["map"])
+            return
+        self._staged = st
 
     def commit_fused(self, st, X, out_kf, out_mp, out_obs):
         """Commit a window-fused mapper job from the window wire's trailing

@@ -644,8 +644,16 @@ class System:
         if staged is not None and patch_job is not None:
             # Both pending can only happen after an irregular schedule (e.g.
             # a standalone BIG job still in flight when a SMALL one staged):
-            # land the standalone one now so one patch source remains.
+            # land the standalone one now so one patch source remains, then
+            # REBUILD the snapshot — the blocking commit just inserted that
+            # job's triangulations into the host graph, and a snapshot built
+            # before it would leave them invisible to this window (the
+            # recomputed patch is the zero patch).
             self.mapper.poke_commit(blocking=True)
+            self._refresh_snapshot()
+            snap = self._snapshot
+            if snap is None:
+                return None
             patch_tri, patch_mp, patch_meta, patch_job = (
                 self._patch_inputs(snap)
             )

@@ -132,11 +132,15 @@ class MotionVectorImage:
 
     def packed_joint_i16(self):
         """Half-width upload for the windowed drive: (M+K+1, 8) i16 with the
-        same row layout as packed_joint plus ONE trailer row. Block coords
-        (rects, dindx, valid) are small integers — exact in i16; the per-hop
-        delta is stored in 1/64-pel fixed point (the patched decoder emits
-        motion/4/(ref+1), so ref∈{0,1,3} are exact and other refs round at
-        ~0.008 px — far below the f32 track noise). The trailer row carries
+        same row layout as packed_joint plus ONE trailer row. Block rects can
+        be fractional (quarter-pel-shifted source rects, synthetic continuous
+        flow) — they are ROUNDED to the nearest integer pixel before the i16
+        cast (truncation shifted inclusive rect bounds by up to ~1 px and
+        perturbed MV-to-point containment vs the f32 path); dindx/valid are
+        small integers, exact in i16. The per-hop delta is stored in
+        1/64-pel fixed point (the patched decoder emits motion/4/(ref+1), so
+        ref∈{0,1,3} are exact and other refs round at ~0.008 px — far below
+        the f32 track noise). The trailer row carries
         coverage_area in Q14. Halving the MV bytes matters because the
         tunneled device link is the drive's bottleneck resource (~20 MB/s
         effective: the MV stack was ~25 ms of the ~110 ms window cycle).
@@ -148,10 +152,10 @@ class MotionVectorImage:
             np.round(self.mv_delta * 64.0), -32767, 32767,
             out=joint[:M, 0:2], casting="unsafe",
         )
-        joint[:M, 2:6] = self.mv_rect
+        joint[:M, 2:6] = np.round(self.mv_rect)
         joint[:M, 6] = self.mv_dindx
         joint[: self.n_mvs, 7] = 1
-        joint[M : M + K, 0:4] = self.kps_rect
+        joint[M : M + K, 0:4] = np.round(self.kps_rect)
         joint[M : M + self.n_kps, 4] = 1
         joint[M + K, 0] = int(round(self.coverage_area * 16384.0))
         return joint, M
