@@ -3,16 +3,84 @@
 Replaces the reference's boost-serialization `.osa` session files
 (System::SaveAtlas/LoadAtlas, /root/reference/src/System.cc:1014-1098;
 object-graph serializers in Atlas.h/Map.h/KeyFrame.h/MapPoint.h): the pointer
-web is flattened to id-keyed arrays and written as a pickle of plain numpy
-structures, including the static id counters (Atlas.h:56-61).
+web is flattened to id-keyed plain structures and written as a DATA-SHAPED
+npz archive — a JSON structure string plus numbered numpy arrays, loaded with
+allow_pickle=False so restoring a checkpoint never executes code from the
+file (the boost text/binary archives of the reference are similarly
+data-only). Static id counters are saved too (Atlas.h:56-61).
 """
 from __future__ import annotations
 
-import pickle
+import io
+import json
 
 import numpy as np
 
 from .map import Atlas, KeyFrame, Map, MapPoint
+
+
+# --- JSON + npz hybrid codec -------------------------------------------------
+# Nested dict/list structures of plain scalars serialize as JSON; numpy
+# arrays are pulled out into numbered npz members and referenced by index.
+# Dicts with non-string keys (obs: kf_id -> slot, covis: kf_id -> weight)
+# are encoded as explicit pair lists.
+
+
+def _encode(obj, arrays):
+    if isinstance(obj, np.ndarray):
+        arrays.append(obj)
+        return {"__nd__": len(arrays) - 1}
+    if isinstance(obj, (np.integer, np.floating, np.bool_)):
+        return obj.item()
+    if isinstance(obj, dict):
+        if all(isinstance(k, str) for k in obj):
+            return {k: _encode(v, arrays) for k, v in obj.items()}
+        return {
+            "__pairs__": [
+                [_encode(k, arrays), _encode(v, arrays)] for k, v in obj.items()
+            ]
+        }
+    if isinstance(obj, (list, tuple, set)):
+        return [_encode(v, arrays) for v in sorted(obj)] if isinstance(
+            obj, set
+        ) else [_encode(v, arrays) for v in obj]
+    return obj  # int/float/str/bool/None
+
+
+def _decode(obj, arrays):
+    if isinstance(obj, dict):
+        if "__nd__" in obj:
+            return arrays[obj["__nd__"]]
+        if "__pairs__" in obj:
+            return {
+                _decode(k, arrays): _decode(v, arrays)
+                for k, v in obj["__pairs__"]
+            }
+        return {k: _decode(v, arrays) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_decode(v, arrays) for v in obj]
+    return obj
+
+
+def _dump_npz(data, filename):
+    arrays = []
+    structure = json.dumps(_encode(data, arrays))
+    # Write through a file object: np.savez would otherwise append ".npz" to
+    # arbitrary checkpoint names (the settings' .osa-style paths).
+    with open(filename, "wb") as f:
+        np.savez_compressed(
+            f,
+            structure=np.frombuffer(structure.encode(), np.uint8),
+            **{f"a{i}": a for i, a in enumerate(arrays)},
+        )
+
+
+def _load_npz(filename):
+    with np.load(filename, allow_pickle=False) as z:
+        structure = json.loads(bytes(z["structure"]).decode())
+        n = sum(1 for k in z.files if k.startswith("a"))
+        arrays = [z[f"a{i}"] for i in range(n)]
+    return _decode(structure, arrays)
 
 
 def _kf_record(kf):
@@ -49,13 +117,11 @@ def save_atlas(atlas, filename):
                 "current": m is atlas.current,
             }
         )
-    with open(filename, "wb") as f:
-        pickle.dump(data, f)
+    _dump_npz(data, filename)
 
 
 def load_atlas(filename):
-    with open(filename, "rb") as f:
-        data = pickle.load(f)
+    data = _load_npz(filename)
     atlas = Atlas()
     atlas.maps.clear()
     max_kf_id = -1

@@ -225,8 +225,8 @@ def ba_solve(
         cost = _total_cost(chi2, obs_w)
         return r, W, g_p, g_l, Hpp, Hll, cost, chi2, z
 
-    def solve(R, t, X, lam):
-        _, W, g_p, g_l, Hpp, Hll, cost0, _, _ = linearize(R, t, X)
+    def solve(R, t, X, lam, lin):
+        _, W, g_p, g_l, Hpp, Hll, cost0, _, _ = lin
 
         S, rhs, Hll_inv = schur_reduce(
             W, g_p, g_l, Hpp, Hll, obs_kf, obs_mp, obs_by_point, lam, K, P, O
@@ -253,29 +253,39 @@ def ba_solve(
         t_new = jnp.where(free[:, None], t_new, t)
         X_new = X + dX
 
-        _, _, _, _, _, _, cost1, _, _ = linearize(R_new, t_new, X_new)
-        return R_new, t_new, X_new, cost0, cost1
+        lin_new = linearize(R_new, t_new, X_new)
+        return R_new, t_new, X_new, cost0, lin_new
 
     def lm_step(carry, _):
-        R, t, X, lam = carry
-        R_new, t_new, X_new, cost0, cost1 = solve(R, t, X, lam)
+        # The linearization at the CURRENT accepted point rides the carry:
+        # each iteration linearizes exactly once (at the trial point, whose
+        # products become next iteration's system if accepted) instead of
+        # twice — the linearize pass is ~half the solver's device time and
+        # this halves its count with bit-identical LM decisions.
+        R, t, X, lam, lin = carry
+        R_new, t_new, X_new, cost0, lin_new = solve(R, t, X, lam, lin)
+        cost1 = lin_new[6]
         accept = (cost1 < cost0) & jnp.isfinite(cost1)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
+        lin = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), lin_new, lin
+        )
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
-        return (R, t, X, lam), cost1
+        return (R, t, X, lam, lin), cost1
 
-    init = (kf_R, kf_t, mp_pos, jnp.asarray(1e-4, jnp.float32))
-    (R, t, X, _), costs = jax.lax.scan(lm_step, init, None, length=iters)
+    init = (
+        kf_R, kf_t, mp_pos, jnp.asarray(1e-4, jnp.float32),
+        linearize(kf_R, kf_t, mp_pos),
+    )
+    (R, t, X, _, lin_f), costs = jax.lax.scan(lm_step, init, None, length=iters)
 
     # Final per-observation chi2 / depth for the host-side pruning pass
-    # (Optimizer.cc:761-818 drops chi2 > 5 or negative-depth edges).
-    r, _, _, _, chi2, z = _residual_jacobians(
-        R, t, X, obs_kf, obs_mp, obs_uv, obs_w, fx, fy, cx, cy, obs_ur, bf
-    )
-    cost = _total_cost(chi2, obs_w)
+    # (Optimizer.cc:761-818 drops chi2 > 5 or negative-depth edges) — read
+    # straight off the carried linearization at the accepted point.
+    chi2, z, cost = lin_f[7], lin_f[8], lin_f[6]
     return {
         "kf_R": R,
         "kf_t": t,
