@@ -10,13 +10,70 @@ TartanAir stream on CPU, /root/reference/README.md:47; BASELINE.md targets
 >= 10x CPU frame rate).
 """
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
+# Partial-result insurance: the driver bounds bench runs with a timeout
+# (SIGTERM). Round 4's cold-cache run was killed mid-compile and recorded
+# NOTHING; now any timed segment that finished before the signal still gets
+# reported as a parseable JSON line on the way out.
+_PARTIAL = {"seg_fps": []}
+
+
+def _emit_partial(signum, frame):
+    seg = _PARTIAL["seg_fps"]
+    if seg:
+        srt = sorted(seg)
+        fps = srt[len(srt) // 2]
+        base = _baseline()[0]
+        print(
+            json.dumps(
+                {
+                    "metric": "tracked frames/sec (full mono SLAM, synthetic 640x480 MV stream)",
+                    "value": round(fps, 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / base, 3),
+                    "extra": {
+                        "partial": f"timed out after {len(seg)} segment(s)",
+                        "segment_fps": [round(f, 2) for f in seg],
+                    },
+                }
+            ),
+            flush=True,
+        )
+    sys.exit(124)
+
+
+def _baseline():
+    """(baseline_fps, description): the measured CPU front-end rate from
+    tools/run_baseline.py (reference hot loop re-executed with its own
+    OpenCV solver calls on this host), falling back to the 30 fps real-time
+    operating point the reference paces itself to
+    (mono_video_tartan.cc:73-93)."""
+    baseline_fps, baseline_src = 30.0, "30fps stream pacing (not measured)"
+    try:
+        with open(__file__.replace("bench.py", "BASELINE_MEASURED.json")) as f:
+            meas = json.load(f)
+        baseline_fps = float(meas["fps"])
+        baseline_src = (
+            f"measured CPU front-end: {meas['mean_track_ms']:.1f} ms/frame "
+            f"({baseline_fps:.1f} fps), lba {meas['lba_ms_per_iter']:.1f} "
+            f"ms/iter (tools/baseline_cpu.cc)"
+        )
+    except (OSError, KeyError, ValueError):
+        pass
+    return baseline_fps, baseline_src
+
 
 def main():
+    import threading
+
+    signal.signal(signal.SIGTERM, _emit_partial)
+    signal.signal(signal.SIGINT, _emit_partial)
+
     import jax
 
     # Persistent compile cache (hits across bench runs; first run pays).
@@ -28,8 +85,22 @@ def main():
     from movslam_tpu.config.settings import Settings, MONOCULAR
     from movslam_tpu.core.camera import Pinhole
     from movslam_tpu.io.synthetic import SyntheticStream
+    from movslam_tpu.utils.prewarm import prewarm_windowed_mono
 
     Verbose.level = Verbose.QUIET
+
+    # Cold-cache insurance: compile the drive's big device programs (window
+    # variants, per-frame program, mapper size classes) in PARALLEL worker
+    # threads while the main thread generates frames and runs the warmup
+    # (which compiles the remaining small init-path programs serially). The
+    # backend compiles concurrently (measured wall = max, not sum), so a
+    # fully cold remote-compile start costs ~one big-program compile instead
+    # of their sum; warm runs hit the persistent cache and skip it all.
+    prewarm_thread = threading.Thread(
+        target=lambda: prewarm_windowed_mono((2, 4, 8), verbose=False),
+        daemon=True,
+    )
+    prewarm_thread.start()
 
     s = Settings()
     s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)
@@ -73,6 +144,7 @@ def main():
         system.track_monocular_batch([], flush=True)
         dt = time.perf_counter() - t0
         seg_fps.append(n_timed / dt)
+        _PARTIAL["seg_fps"] = list(seg_fps)
     system.shutdown()
 
     seg_fps.sort()
@@ -100,24 +172,7 @@ def main():
     lba = sorted(system.mapper.lba_ms)
     lba_ms = lba[len(lba) // 2] if lba else None
 
-    # Baseline: MEASURED CPU front-end rate from tools/run_baseline.py
-    # (reference hot loop re-executed with its own OpenCV solver calls on
-    # this host), falling back to the 30 fps real-time operating point the
-    # reference paces itself to (mono_video_tartan.cc:73-93).
-    baseline_fps, baseline_src = 30.0, "30fps stream pacing (not measured)"
-    try:
-        with open(
-            __file__.replace("bench.py", "BASELINE_MEASURED.json")
-        ) as f:
-            meas = json.load(f)
-        baseline_fps = float(meas["fps"])
-        baseline_src = (
-            f"measured CPU front-end: {meas['mean_track_ms']:.1f} ms/frame "
-            f"({baseline_fps:.1f} fps), lba {meas['lba_ms_per_iter']:.1f} "
-            f"ms/iter (tools/baseline_cpu.cc)"
-        )
-    except (OSError, KeyError, ValueError):
-        pass
+    baseline_fps, baseline_src = _baseline()
 
     print(
         json.dumps(

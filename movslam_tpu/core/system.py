@@ -64,12 +64,21 @@ class System:
         self._reset_requested = False
         self._snapshot = None
         self._snapshot_key = None
-        # In-flight window record of the pipelined batch drive (dispatched,
-        # not yet replayed) + host-side lookahead of frames buffered across
+        # In-flight window queue of the pipelined batch drive (dispatched,
+        # not yet replayed; oldest first, each chained on the previous one's
+        # device carry) + host-side lookahead of frames buffered across
         # batch calls (lets windows span caller batch boundaries so the
         # KF-aligned schedule stays in phase). See _batch_drive.
-        self._wf = None
+        self._wfq = []
         self._pending = []
+        # Pipeline depth: how many windows may be in flight at once. At 1
+        # the device idles from a window's completion until the host has
+        # pulled its wire and uploaded the next window's inputs; at 2 the
+        # device always has the next window queued, so throughput becomes
+        # max(device window time, host replay time) instead of their sum.
+        # Speculation guards in _collect_run (mature map, KF-aligned
+        # windows) keep deep-pipeline rewinds rare.
+        self.pipeline_depth = 2
         self._zero_patch = None  # cached no-op snapshot-patch arrays
         self._zero_mwires = None  # cached no-op fused-mapper wires
         # Optional sub-stage profiling accumulator (tools/profile_drive.py):
@@ -361,92 +370,95 @@ class System:
         results = []
         todo = self._pending + list(items)
         self._pending = []
+        wfq = self._wfq
         while todo:
             # Host-side lookahead: with flush=False, fewer than a full
             # window's frames stay buffered for the next call instead of
             # being forced into fragmented short windows — the KF-aligned
-            # window schedule is 8-periodic but phase-shifted from the
+            # window schedule is W-periodic but phase-shifted from the
             # caller's batch boundaries (the reference decoder's 12-deep
             # vqueue provides exactly this slack, VideoDecoder.cc:163-368).
             if (
                 not flush
                 and len(todo) < self.window
                 and (
-                    self._wf is not None
+                    wfq
                     or (self._window_eligible(todo[0][1])
                         and self._snapshot is not None)
                 )
             ):
                 self._pending = todo
                 return results
-            if self._wf is None:
-                run = self._collect_run(todo)
-                if run is not None:
-                    wf = self._dispatch_window(run)
-                    if wf is not None:
-                        self._wf = wf
-                        del todo[: len(run)]
-                        continue
-                results.append(per_frame(*todo.pop(0)))
-                continue
-            # A window is in flight: speculatively dispatch the next one on
-            # its device carry, then replay the in-flight window. The
-            # speculative window's compute overlaps this replay (and the
-            # mapper work it triggers) — one host<->device sync per window.
-            # The previous keyframe's deferred mapper results ride into the
-            # speculative dispatch as a DEVICE-side snapshot patch
-            # (_patch_inputs), so the window tracks at most one KF stale
-            # without any blocking commit; the host graph catches up when
-            # the window replays (or at the next keyframe's process_one).
-            # When NO speculative window dispatches (I-frame at head, short
-            # tail), nothing carries the patch: commit any finished deferred
-            # job after the replay (non-blocking — an unfinished job lands
-            # at the next dispatch/process_one) so per-frame fallbacks don't
-            # track a snapshot missing the last keyframe's triangulations.
-            # PULL FIRST: the tunnel link is effectively a serial RPC channel
-            # (measured: a prefetched wire queued behind the next window's
-            # ~60 ms upload blocks the replay for that whole upload). Landing
-            # the in-flight window's wire BEFORE enqueueing the speculative
-            # window's uploads cuts the blocking wait to the compute
-            # stragglers only; the spec dispatch then overlaps the replay.
-            t0 = time.perf_counter()
-            wire_np = np.asarray(self._wf["out"]["wire"])
-            if self._prof is not None:
-                self._prof["pull_early"] += time.perf_counter() - t0
-            spec_run = self._collect_run(todo, speculative=True)
-            spec = (
-                self._dispatch_window(spec_run, carry=self._wf)
-                if spec_run is not None else None
-            )
-            poses, consumed, clean = self._replay_window(self._wf, wire_np)
-            if spec is None:
-                # No speculative window will carry a staged mapper job or
+            # Fill the pipeline: dispatch windows until the depth cap or
+            # until nothing at the head of todo is window-eligible. Each
+            # dispatch beyond the first chains SPECULATIVELY on the previous
+            # window's device carry (state, pose chain, PRNG) — its compute
+            # overlaps the replays below. The previous keyframe's deferred
+            # mapper results ride each dispatch as a DEVICE-side snapshot
+            # patch (_patch_inputs) or as the window-fused mapper job
+            # (take_staged), so windows track at most one KF stale without
+            # any blocking commit. Fills happen BEFORE the oldest replay:
+            # by then that window's compute finished long ago (the device
+            # has been working on its successor), so its prefetched wire is
+            # already host-resident and the fill's uploads don't stall it
+            # on the serial tunnel channel.
+            while len(wfq) < self.pipeline_depth and todo:
+                run = self._collect_run(todo, speculative=bool(wfq))
+                if run is None:
+                    break
+                wf = self._dispatch_window(
+                    run, carry=wfq[-1] if wfq else None
+                )
+                if wf is None:
+                    break
+                wfq.append(wf)
+                del todo[: len(run)]
+            if not wfq:
+                # Per-frame fallback (I-frame at head, init/loss states, no
+                # snapshot). No window will carry a staged mapper job or
                 # the deferred patch: launch any staged job standalone now
-                # (async) and land whatever already finished.
+                # (async) and land whatever already finished, so the
+                # per-frame path doesn't track a snapshot missing the last
+                # keyframe's triangulations.
                 self.mapper.dispatch_staged_async()
                 self.mapper.poke_commit(blocking=False)
+                results.append(per_frame(*todo.pop(0)))
+                continue
+            # Replay the OLDEST in-flight window (the single host<->device
+            # sync point per window).
+            wf = wfq.pop(0)
+            t0 = time.perf_counter()
+            wire_np = np.asarray(wf["out"]["wire"])
+            if self._prof is not None:
+                self._prof["pull_early"] += time.perf_counter() - t0
+            poses, consumed, clean = self._replay_window(wf, wire_np)
             results.extend(poses)
-            unconsumed = self._wf["run"][consumed:]
-            self._wf = None
-            if unconsumed:
-                todo = list(unconsumed) + todo  # re-feed after rewind
-            if spec is not None and clean:
-                self._wf = spec
-                del todo[: len(spec_run)]
-            elif spec is not None:
-                # Not clean: the speculative window chained on a rewound
-                # carry — discard it; its frames are still at the head of
-                # todo. A window-fused mapper job it carried never commits
-                # from a discarded wire: put it back for the next dispatch
-                # (its wires are pure host data, re-running is free).
-                self.mapper.restage(spec.get("fused_job"))
-        if flush and self._wf is not None:
-            poses, consumed, _ = self._replay_window(self._wf)
-            results.extend(poses)
-            unconsumed = self._wf["run"][consumed:]
-            self._wf = None
-            for it in unconsumed:
-                results.append(per_frame(*it))
+            if not clean:
+                # Rewind: every downstream window chained on a now-invalid
+                # carry — discard them all; their frames re-feed in order.
+                # A window-fused mapper job a discarded window carried never
+                # commits from a discarded wire: put it back for the next
+                # dispatch (its wires are pure host data, re-running is
+                # free).
+                refeed = list(wf["run"][consumed:])
+                for w2 in wfq:
+                    self.mapper.restage(w2.get("fused_job"))
+                    refeed.extend(w2["run"])
+                wfq.clear()
+                todo[:0] = refeed
+        if flush:
+            while wfq:
+                wf = wfq.pop(0)
+                poses, consumed, clean = self._replay_window(wf)
+                results.extend(poses)
+                if not clean:
+                    refeed = list(wf["run"][consumed:])
+                    for w2 in wfq:
+                        self.mapper.restage(w2.get("fused_job"))
+                        refeed.extend(w2["run"])
+                    wfq.clear()
+                    for it in refeed:
+                        results.append(per_frame(*it))
         return results
 
     def _sim_kf_schedule(self, start_count, cooldown, last_kf_id, n):
@@ -461,6 +473,10 @@ class System:
         a mid-window keyframe leaves the rest of the window tracking a stale
         snapshot (the round-2 design rewound those at a ~2x throughput cost)."""
         tr = self.tracking
+        if tr.only_tracking:
+            # Localization mode: no keyframes ever fire; windows just cap
+            # at W and the cooldown ticks down.
+            return [], max(0, cooldown - n), last_kf_id
         nkfs = self.atlas.current.n_keyframes()
         busy = self.mapper.busy_frames
         offs = []
@@ -512,10 +528,11 @@ class System:
             run.append(it)
         L = 1 << (len(run).bit_length() - 1) if run else 0
         # Align the window end with the next predicted keyframe. For a
-        # speculative run the in-flight window hasn't been replayed yet, so
-        # predict from its simulated exit state (stored at dispatch).
-        if speculative and self._wf is not None:
-            start, cool, lastkf = self._wf["sched_exit"]
+        # speculative run the in-flight windows haven't been replayed yet,
+        # so predict from the NEWEST one's simulated exit state (stored at
+        # dispatch).
+        if speculative and self._wfq:
+            start, cool, lastkf = self._wfq[-1]["sched_exit"]
         else:
             start = self.image_count
             cool = self.mapper.cooldown
@@ -551,8 +568,8 @@ class System:
         """Strip per-item IMU arrays from (ts, smv, imu) batch tuples into
         the buffer, keyed by the frame ids the items will get (frames still
         in flight or buffered in the host lookahead shift those ids)."""
-        ahead = len(self._pending) + (
-            len(self._wf["run"]) if self._wf is not None else 0
+        ahead = len(self._pending) + sum(
+            len(wf["run"]) for wf in self._wfq
         )
         out = []
         for k, it in enumerate(items):
@@ -1068,12 +1085,23 @@ class System:
         the windowed stereo program when eligible (mirrors
         track_monocular_batch, including the pipelined drive; stereo depth is
         computed on device inside the same dispatch, ops/frame_step 1c)."""
+        if self.settings.need_rectify:
+            from .stereo_rectified import rectify_pair
+
+            items = [
+                (it[0], *rectify_pair(it[1], it[2], self.settings))
+                for it in items
+            ]
         return self._batch_drive(items, flush, per_frame=self.track_stereo)
 
     def track_stereo(self, timestamp, smv, smv_right):
         """System::TrackStereo (System.cc:236-300)."""
         assert self.sensor == STEREO, "sensor not set to Stereo"
         self._flush_windows()
+        if self.settings.need_rectify:
+            from .stereo_rectified import rectify_pair
+
+            smv, smv_right = rectify_pair(smv, smv_right, self.settings)
         from .stereo import compute_stereo_depth
 
         t0 = time.perf_counter()
@@ -1108,6 +1136,26 @@ class System:
         return None
 
     # --- control ---------------------------------------------------------
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.h:118-121,
+        System.cc:171-234 mode gates): freeze mapping and track against the
+        frozen map — no keyframes, no triangulation, no BA, no new-map
+        recovery. The Viewer menu exposes the same toggle in the reference
+        (Viewer.cc:187)."""
+        self._flush_windows()
+        self.mapper.spin(final=True)  # land in-flight mapper work first
+        self.mapper.dispatch_staged_async()
+        self.mapper.poke_commit(blocking=True)
+        self.tracking.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """System::DeactivateLocalizationMode: resume mapping."""
+        self._flush_windows()
+        self.tracking.only_tracking = False
+
+    def localization_mode_active(self):
+        return self.tracking.only_tracking
+
     def reset_active_map(self):
         Verbose.log("SYSTEM-> Resetting active map")
         self.tracking.reset_active_map()
@@ -1126,14 +1174,21 @@ class System:
         )
 
     def _flush_windows(self):
-        """Drain the pipelined drive's in-flight window (if any): replay it
-        and push any rewound remainder through the per-frame paths. Called
-        defensively at every per-frame entry point and at shutdown so mixed
-        batch/per-frame usage and flush=False streams stay consistent."""
-        if self._wf is not None:
-            wf, self._wf = self._wf, None
-            _, consumed, _ = self._replay_window(wf)
-            for it in wf["run"][consumed:]:
+        """Drain the pipelined drive's in-flight windows (if any): replay
+        them and push any rewound remainder through the per-frame paths.
+        Called defensively at every per-frame entry point and at shutdown so
+        mixed batch/per-frame usage and flush=False streams stay
+        consistent."""
+        while self._wfq:
+            wf = self._wfq.pop(0)
+            _, consumed, clean = self._replay_window(wf)
+            refeed = list(wf["run"][consumed:])
+            if not clean:
+                for w2 in self._wfq:
+                    self.mapper.restage(w2.get("fused_job"))
+                    refeed.extend(w2["run"])
+                self._wfq.clear()
+            for it in refeed:
                 if len(it) == 3:
                     self.track_stereo(*it)
                 else:

@@ -49,6 +49,11 @@ class Tracking:
         self.tracked_frames = 0
         self.matches_inliers = 0
         self.last_ref_track_count = 0
+        # Localization-only mode (System::ActivateLocalizationMode,
+        # /root/reference/src/System.cc:171-234, System.h:118-121): track
+        # against the frozen map — no keyframes, no map mutation, no
+        # new-map-in-atlas recovery.
+        self.only_tracking = False
 
         self.max_frames = int(settings.fps / 2)
         self.min_frames = 0
@@ -132,6 +137,15 @@ class Tracking:
                     self.state = State.LOST
                     ok = False
             if self.state == State.LOST:
+                if self.only_tracking:
+                    # Frozen map: never reset or spawn a new Atlas map —
+                    # stay in RECENTLY_LOST retrying relocalization
+                    # (reference localization mode keeps the tracker alive
+                    # on the loaded map, System.cc:171-234).
+                    self.state = State.RECENTLY_LOST
+                    self.current.lost = True
+                    self.last_frame = self.current
+                    return
                 if m.n_keyframes() < 10:
                     self.system.reset_active_map()
                 else:
@@ -185,7 +199,7 @@ class Tracking:
                         cur.outlier[i] = False
                         cur._mappoints[i] = None
 
-            if self._need_new_keyframe() and ok:
+            if not self.only_tracking and self._need_new_keyframe() and ok:
                 self._create_new_keyframe()
 
             # Drop outliers so the next frame won't use them
@@ -200,6 +214,11 @@ class Tracking:
                 cur.outlier = np.zeros(cur.n, bool)
 
         if self.state == State.LOST:
+            if self.only_tracking:
+                self.state = State.RECENTLY_LOST
+                self.current.lost = True
+                self.last_frame = self.current
+                return
             if m.n_keyframes() <= 10:
                 self.system.reset_active_map()
                 self.current = None
@@ -259,7 +278,7 @@ class Tracking:
             ok_ref = bool(out["ok"]) and int(out["n_ref_inliers"]) >= 10
             if not ok_ref:
                 # TrackReferenceKeyFrame failed (Tracking.cc:325-337).
-                if m.n_keyframes() > 10:
+                if m.n_keyframes() > 10 or self.only_tracking:
                     self.state = State.RECENTLY_LOST
                     self.ts_lost = frame.timestamp
                 else:

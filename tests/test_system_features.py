@@ -211,3 +211,75 @@ def test_keyframe_culling_bounds_map_growth():
     ate = float(np.sqrt(np.mean(np.sum(resid**2, axis=1))))
     span = float(np.linalg.norm(np.ptp(gt, axis=0)))
     assert ate / span < 0.05, (ate, span, n_culled)
+
+
+def test_localization_only_mode():
+    """System::Activate/DeactivateLocalizationMode
+    (/root/reference/src/System.cc:171-234, System.h:118-121): with the mode
+    active, tracking runs against the FROZEN map — no keyframes, no new map
+    points, no atlas mutation — and poses keep coming; deactivating resumes
+    mapping."""
+    stream = SyntheticStream(n_points=400, seed=31)
+    system = System(_settings(), MONOCULAR)
+    _run(system, stream, 40)
+    assert system.tracking.state == State.OK
+    system.activate_localization_mode()
+    m = system.atlas.current
+    n_kfs, n_mps = m.n_keyframes(), m.n_mappoints()
+    n_maps = len(system.atlas.maps)
+    change = m.change_index
+    kf_poses = {kid: (kf.R.copy(), kf.t.copy())
+                for kid, kf in m.keyframes.items()}
+
+    poses = []
+    for k in range(40, 80):
+        smv = stream.frame(k)
+        poses.append(system.track_monocular(smv.timestamp, smv))
+
+    assert m.n_keyframes() == n_kfs, "keyframe created in localization mode"
+    assert m.n_mappoints() == n_mps, "map point created in localization mode"
+    assert len(system.atlas.maps) == n_maps
+    assert m.change_index == change, "map mutated in localization mode"
+    for kid, (R0, t0) in kf_poses.items():
+        kf = m.keyframes[kid]
+        np.testing.assert_array_equal(kf.R, R0)
+        np.testing.assert_array_equal(kf.t, t0)
+    # Still localizing: most frames produce a pose on the frozen map.
+    ok = [p for p in poses if p is not None]
+    assert len(ok) >= 30, f"only {len(ok)}/40 frames localized"
+
+    # Deactivate: mapping resumes (keyframes accumulate again).
+    system.deactivate_localization_mode()
+    _run(system, stream, 30, start=80)
+    system.shutdown()
+    assert system.atlas.current.n_keyframes() > n_kfs \
+        or len(system.atlas.maps) > n_maps
+
+
+def test_localization_mode_windowed_batch():
+    """The windowed pipelined drive honors localization mode: whole windows
+    dispatch with no predicted keyframes and the map stays frozen."""
+    stream = SyntheticStream(n_points=400, seed=32)
+    system = System(_settings(), MONOCULAR)
+    items = [(f.timestamp, f) for f in [stream.frame(k) for k in range(120)]]
+    k = 0
+    while k < 64:
+        system.track_monocular_batch(items[k : k + 8], flush=False)
+        k += 8
+    system.track_monocular_batch([], flush=True)
+    system.activate_localization_mode()
+    m = system.atlas.current
+    n_kfs, n_mps, change = m.n_keyframes(), m.n_mappoints(), m.change_index
+
+    got = []
+    while k < 120:
+        got.extend(system.track_monocular_batch(items[k : k + 8], flush=False))
+        k += 8
+    got.extend(system.track_monocular_batch([], flush=True))
+    system.shutdown()
+
+    assert m.n_keyframes() == n_kfs
+    assert m.n_mappoints() == n_mps
+    assert m.change_index == change
+    ok = [p for p in got if p is not None]
+    assert len(ok) >= 48, f"only {len(ok)}/{len(got)} frames localized"
