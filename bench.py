@@ -69,8 +69,6 @@ def _baseline():
 
 
 def main():
-    import threading
-
     signal.signal(signal.SIGTERM, _emit_partial)
     signal.signal(signal.SIGINT, _emit_partial)
 
@@ -91,16 +89,14 @@ def main():
 
     # Cold-cache insurance: compile the drive's big device programs (window
     # variants, per-frame program, mapper size classes) in PARALLEL worker
-    # threads while the main thread generates frames and runs the warmup
-    # (which compiles the remaining small init-path programs serially). The
-    # backend compiles concurrently (measured wall = max, not sum), so a
-    # fully cold remote-compile start costs ~one big-program compile instead
-    # of their sum; warm runs hit the persistent cache and skip it all.
-    prewarm_thread = threading.Thread(
-        target=lambda: prewarm_windowed_mono((2, 4, 8), verbose=False),
-        daemon=True,
-    )
-    prewarm_thread.start()
+    # threads BEFORE any other device work. The backend compiles
+    # concurrently (measured wall = max, not sum), so a fully cold
+    # remote-compile start costs ~one big-program compile instead of their
+    # sum; warm runs hit the persistent cache and this returns in seconds.
+    # Blocking on purpose: concurrent compile threads are safe, but
+    # compile-in-thread while the main thread EXECUTES programs wedged the
+    # tunneled runtime (measured hang -> SIGTERM -> native abort).
+    prewarm_windowed_mono((2, 4, 8), verbose=False)
 
     s = Settings()
     s.camera1 = Pinhole(320.0, 320.0, 320.0, 240.0, 640, 480)

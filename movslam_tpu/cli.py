@@ -56,6 +56,29 @@ def open_stream(url, fps_hint=30.0):
     return iter(dec), None
 
 
+def open_vi_stream(url, fps_hint=30.0):
+    """Visual-inertial stream: yields (ts, smv, imu) triples.
+    `synthetic-vi://n_frames=N,seed=S` is the fake decoder + analytic IMU
+    (io/synthetic_vi.py); real capture would pair the video decoder with an
+    IMU CSV, which BASELINE config 5 leaves to the dataset harness."""
+    if not url.startswith("synthetic-vi://"):
+        raise SystemExit(
+            "IMU_MONOCULAR streams: synthetic-vi://n_frames=N,seed=S "
+            "(real capture needs a time-aligned IMU sidecar)"
+        )
+    from .io.synthetic_vi import SyntheticVIStream
+
+    kwargs = {}
+    for kv in url[len("synthetic-vi://"):].split(","):
+        if not kv:
+            continue
+        k, v = kv.split("=")
+        kwargs[k] = int(v)
+    n_frames = kwargs.pop("n_frames", 300)
+    stream = SyntheticVIStream(fps=fps_hint, **kwargs)
+    return stream.items(n_frames), n_frames
+
+
 def open_stereo_stream(url, fps_hint):
     """Stereo stream: yields (left, right) MotionVectorImage pairs (right
     frames skip MV extraction, stereo_video_tartan.cc:74-99)."""
@@ -116,28 +139,30 @@ def mono_main(argv=None):
         return 1
     settings_path, url = argv[1], argv[2]
     realtime = "--realtime" in argv
+    use_imu = "--imu" in argv or url.startswith("synthetic-vi://")
     viewer_dir = argv[argv.index("--viewer") + 1] if "--viewer" in argv else None
     _maybe_cpu(argv)
     from .core.system import System
 
-    slam = System(
-        settings_path, System.MONOCULAR, use_viewer=viewer_dir is not None
-    )
+    sensor = System.IMU_MONOCULAR if use_imu else System.MONOCULAR
+    slam = System(settings_path, sensor, use_viewer=viewer_dir is not None)
     if viewer_dir:
         slam.viewer.out_dir = viewer_dir
     fps = slam.get_fps()
-    frames, _ = open_stream(url, fps)
+    if use_imu:
+        items, _ = open_vi_stream(url, fps)
+    else:
+        frames, _ = open_stream(url, fps)
+        items = ((smv.timestamp, smv, None) for smv in frames if smv is not None)
 
     n = 0
     t_start = time.perf_counter()
     if realtime:
         # Real-time pacing (reference mono_video_tartan.cc:73-93): one frame
         # per 1/fps budget, per-frame dispatch.
-        for smv in frames:
-            if smv is None:
-                break
+        for ts, smv, imu in items:
             t0 = time.perf_counter()
-            slam.track_monocular(smv.timestamp, smv)
+            slam.track_monocular(ts, smv, imu=imu)
             n += 1
             budget = 1.0 / fps - (time.perf_counter() - t0)
             if budget > 0:
@@ -148,10 +173,8 @@ def mono_main(argv=None):
         # flight ACROSS batch calls (the device computes window k+1 while
         # the host replays window k); the final empty flush drains.
         batch = []
-        for smv in frames:
-            if smv is None:
-                break
-            batch.append((smv.timestamp, smv))
+        for it in items:
+            batch.append(it if use_imu else it[:2])
             if len(batch) >= slam.window:
                 slam.track_monocular_batch(batch, flush=False)
                 n += len(batch)

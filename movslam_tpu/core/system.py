@@ -1161,13 +1161,27 @@ class System:
         self.tracking.reset_active_map()
         self._reset_requested = True
 
-    def global_bundle_adjustment(self, iters=20):
+    def global_bundle_adjustment(self, iters=20, mesh=None):
         """Full-map BA over the active map (System::GlobalBundleAdjustment,
         System.cc:162-169): every keyframe optimized (origin fixed),
-        synchronous writeback under the map lock."""
+        synchronous writeback under the map lock.
+
+        mesh: optional jax.sharding.Mesh — shards the Schur reduction over
+        the mesh's "data" axis (parallel/gba.py: per-device point shards,
+        one psum of the reduced camera system over ICI). Single-chip and
+        sharded runs agree to solver tolerance (tests/test_gba_sharded.py)."""
+        self.mapper.spin(final=True)  # drain queue + commit pending LBA first
+        if mesh is not None:
+            from ..parallel.gba import global_bundle_adjustment_sharded
+
+            global_bundle_adjustment_sharded(
+                self.atlas.current, self.mapper.camera, mesh,
+                bf=self.mapper.bf, iters=iters,
+                map_lock=self.mapper.map_lock,
+            )
+            return
         from .local_mapping import global_bundle_adjustment
 
-        self.mapper.spin(final=True)  # drain queue + commit pending LBA first
         global_bundle_adjustment(
             self.atlas.current, self.mapper.camera, bf=self.mapper.bf,
             iters=iters, map_lock=self.mapper.map_lock,
