@@ -25,8 +25,13 @@ import time
 def _maybe_cpu(argv):
     if "--cpu" in argv:
         # Local verification: force the CPU backend + persistent compile
-        # cache (the image's sitecustomize pins the tunneled TPU platform;
-        # the config API wins when applied before first jax use).
+        # cache. The tunneled-TPU plugin must not stay in-process for CPU
+        # runs (its shared library corrupts some CPU XLA executables at
+        # run time — see movslam_tpu/utils/cpuexec.py), so re-exec
+        # plugin-free first (no-op when already clean).
+        from .utils.cpuexec import ensure_plugin_free_cpu
+
+        ensure_plugin_free_cpu()
         import jax
 
         jax.config.update("jax_platforms", "cpu")

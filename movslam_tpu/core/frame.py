@@ -117,28 +117,33 @@ class Frame:
     @staticmethod
     def from_packed(packed, timestamp=0.0, image=None, fid=None,
                     has_dist=False, stereo=False):
-        """Build from the fused frame program's packed export (layout per
-        ops/frame_step.packed_cols: pt(2) tid(i32 bits) age midx flags
-        [pt_un(2) if has_dist] [depth ur if stereo]). Descriptors stay
+        """Build from the fused frame program's bit-packed export (layout
+        per ops/frame_step.packed_cols: pt word | tid bits | meta word
+        [pt_un word if has_dist] [depth ur if stereo]). Descriptors stay
         device-side (desc_w channel); Frame.desc is None here and is
         attached lazily when the frame becomes a keyframe."""
+        from ..ops.frame_step import unpack_pt_np
+
         f = Frame(None, timestamp=timestamp, image=image, fid=fid)
-        flags = packed[:, 5].astype(np.int64)
+        words = np.ascontiguousarray(packed, np.float32)
+        meta = words[:, 2].view(np.int32).astype(np.int64)
+        flags = (meta >> 25) & 0xF
         valid = (flags & 4) != 0
         rows = np.flatnonzero(valid)
-        sel = packed[rows]
-        f.pts_raw = sel[:, 0:2].astype(np.float64)
-        c = 6
+        sel = words[rows]
+        meta = meta[rows]
+        f.pts_raw = unpack_pt_np(sel[:, 0])
+        c = 3
         if has_dist:
-            f.pts = sel[:, 6:8].astype(np.float64)  # undistorted (geometry)
-            c = 8
+            f.pts = unpack_pt_np(sel[:, 3])  # undistorted (geometry)
+            c = 4
         else:
             f.pts = f.pts_raw
         if stereo:
             f.depth_right = sel[:, c].astype(np.float64)
             f.uright = sel[:, c + 1].astype(np.float64)
-        f.track_ids = np.ascontiguousarray(sel[:, 2], np.float32).view(np.int32).astype(np.int64)
-        f.ages = sel[:, 3].astype(np.int32)
+        f.track_ids = sel[:, 1].view(np.int32).astype(np.int64)
+        f.ages = (meta & 0xFFF).astype(np.int32)
         f.desc = None
         f.cap_rows = rows
         n = len(rows)
@@ -148,7 +153,7 @@ class Frame:
         fl = flags[rows]
         f._fused_matched = (fl & 1) != 0
         f._fused_inlier = (fl & 2) != 0
-        f._fused_midx = sel[:, 4].astype(np.int64)
+        f._fused_midx = ((meta >> 12) & 0x1FFF) - 1
         return f
 
     def set_pose(self, R, t):

@@ -38,6 +38,7 @@ class MapSnapshot:
 
     __slots__ = (
         "fused", "mps", "version", "obs_pos", "vis_acc", "found_acc", "tids",
+        "_tid_order",
     )
 
     def __init__(self, fused, mps=None, version=0, obs_pos=None, tids=None):
@@ -55,6 +56,16 @@ class MapSnapshot:
         # Host copy of the per-row track ids (row order): the windowed drive
         # maps deferred-BA points -> snapshot rows for the device patch.
         self.tids = tids if tids is not None else np.zeros(n, np.int64)
+        self._tid_order = None  # (argsort, sorted tids) built on first use
+
+    def tid_order(self):
+        """Cached stable argsort of the row-order track ids (the patch-meta
+        builder needs it once per DISPATCH; sorting 4k ids every window
+        showed up in the dispatch profile)."""
+        if self._tid_order is None:
+            order = np.argsort(self.tids, kind="stable")
+            self._tid_order = (order, self.tids[order])
+        return self._tid_order
 
     def flush_stats(self):
         """Apply accumulated visible/found counts to the MapPoint objects.

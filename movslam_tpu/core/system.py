@@ -10,7 +10,6 @@ optional background mapping thread.
 """
 from __future__ import annotations
 
-import pickle
 import time
 
 import numpy as np
@@ -242,8 +241,7 @@ class System:
         meta = np.full(P_PATCH + 1, SNAP_CAP, np.float32)  # cap row = drop
         meta[0] = n_base
         if ba is not None and n_base:
-            order = np.argsort(snap.tids, kind="stable")
-            sorted_tids = snap.tids[order]
+            order, sorted_tids = snap.tid_order()
             tids = np.fromiter(
                 (mp.track_id for mp in ba["mps"]), np.int64, len(ba["mps"])
             )[:P_PATCH]
@@ -856,13 +854,11 @@ class System:
         packed_w = wire[:o1].reshape(W, N, C)
         scal_w = wire[o1:o2].reshape(W, N_SCALARS)
         visbits_w = wire[o2:o3].reshape(W, P // 32)
-        # The wire carries descriptors for the LAST frame only (the
-        # KF-aligned schedule puts the keyframe there); a mid-window KF
-        # pulls its row from the device-resident side channel. The fused
-        # mapper section trails the descriptors (consumed above).
-        desc_last = np.ascontiguousarray(
-            wire[o3 : o3 + N * 8], np.float32
-        ).view(np.uint32).reshape(N, 8)
+        # No descriptors on the wire: keyframes archive theirs LAZILY from
+        # the device-resident desc_w side channel (async copy kicked off at
+        # the KF replay below; materialized only if a consumer — checkpoint
+        # save, EXPRESS revalidation — actually reads them). The fused
+        # mapper section trails the visibility bits (consumed above).
 
         if prof is not None:
             prof["rep_pre"] += _t() - t0
@@ -918,30 +914,24 @@ class System:
             # new points similarly. Only rewind (re-dispatch the remainder
             # against a fresh snapshot) when the margin is thin.
             if tr.last_kf_frame_id == frame.id:
-                # Descriptors: the wire carries the last frame's (the
-                # KF-aligned slot); archive them on the new keyframe
-                # (checkpoint parity). A mid-window KF reads the device
-                # side channel — one extra pull on the rare schedule miss.
+                # Descriptors: archive LAZILY from the device-resident
+                # desc_w side channel — an async D2H copy kicked off now,
+                # materialized only if a consumer (checkpoint save) reads
+                # them. Keeping all descriptors off the result wire saves
+                # 32 KB/window (~15% of the pull) on the scarce D2H link;
+                # a blocking pull here measured ~100 ms on the tunnel.
                 t2 = _t()
                 kf = tr.last_kf
                 if kf is not None and len(frame.cap_rows):
-                    if k == W - 1:
-                        kf.desc = desc_last[frame.cap_rows]
-                    else:
-                        # Mid-window KF (schedule miss): archive descriptors
-                        # LAZILY — a device-side slice with an async D2H copy
-                        # kicked off now; materialized only if a consumer
-                        # (checkpoint save) reads them. A blocking pull here
-                        # measured ~100 ms on the tunneled link.
-                        dk_dev = out["desc_w"][k]
-                        try:
-                            dk_dev.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                        rows = frame.cap_rows
-                        kf.set_desc_thunk(
-                            lambda d=dk_dev, r=rows: np.asarray(d)[r]
-                        )
+                    dk_dev = out["desc_w"][k]
+                    try:
+                        dk_dev.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    rows = frame.cap_rows
+                    kf.set_desc_thunk(
+                        lambda d=dk_dev, r=rows: np.asarray(d)[r]
+                    )
                 if prof is not None:
                     prof["rep_kf_desc"] += _t() - t2
                     prof["n_kf_last" if k == W - 1 else "n_kf_mid"] += 1

@@ -51,10 +51,11 @@ class TrackState:
     @staticmethod
     def rebuild(packed, desc, next_id):
         """Rebuild a TrackState ON DEVICE from a fused-program packed export
-        (ops/frame_step leading cols: pt(2) tid(i32 bits) age midx flags) +
-        the device-resident descriptor row (window desc_w side channel).
-        Used to rewind to a mid-window frame — no host round trip (mb_wh is
-        not exported; the 16x16 default is restored)."""
+        (ops/frame_step bit-packed words: pt(2xi16) | tid bits | meta) + the
+        device-resident descriptor row (window desc_w side channel). Used to
+        rewind to a mid-window frame — no host round trip (mb_wh is not
+        exported; the 16x16 default is restored; pt carries the wire's
+        1/32-px quantization)."""
         return _rebuild_state(packed, desc, jnp.asarray(next_id, jnp.int32))
 
     @staticmethod
@@ -90,14 +91,17 @@ class TrackState:
 
 @jax.jit
 def _rebuild_state(packed, desc, next_id):
-    flags = packed[:, 5].astype(jnp.int32)
+    from ..ops.frame_step import unpack_pt_dev
+
+    meta = jax.lax.bitcast_convert_type(packed[:, 2], jnp.int32)
+    flags = (meta >> 25) & 0xF
     valid = (flags & 4) != 0
-    tid = jax.lax.bitcast_convert_type(packed[:, 2], jnp.int32)
+    tid = jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32)
     N = packed.shape[0]
     return TrackState(
-        pt=packed[:, 0:2],
+        pt=unpack_pt_dev(packed[:, 0]),
         track_id=jnp.where(valid, tid, -1),
-        age=packed[:, 3].astype(jnp.int32),
+        age=meta & 0xFFF,
         desc=desc,
         mb_wh=jnp.full((N, 2), 16.0, jnp.float32),
         coverage=(flags & 8) != 0,

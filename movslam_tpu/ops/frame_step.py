@@ -33,16 +33,49 @@ N_SCALARS = 16
 
 
 def packed_cols(has_dist=False, has_stereo=False):
-    """Per-slot export width (stage 5): pt(2) tid age midx flags, plus
-    pt_un(2) only for distorted cameras, plus depth+ur only for stereo.
-    D2H bandwidth through a remote TPU is the scarce resource — the wire
-    carries only what the active configuration consumes (descriptors stay
-    device-side; see desc_w)."""
-    return 6 + (2 if has_dist else 0) + (2 if has_stereo else 0)
+    """Per-slot export width in f32 WORDS (stage 5), bit-packed:
+      word 0: pt as 2 x i16 in 1/32-px fixed point (raw pixels)
+      word 1: track id (i32 bits)
+      word 2: meta = age(12b) | midx+1(13b) | flags(4b)
+      [+1 word pt_un (2 x i16, 1/32 px) for distorted cameras]
+      [+2 words depth (f32), ur (f32) for stereo]
+    D2H bandwidth through a remote TPU is the scarce resource (~10-30 MB/s
+    effective on the tunneled link); 1/32-px keypoint quantization is ~10x
+    below the MV track noise floor and only exists on the wire — the
+    device-resident TrackState keeps full f32 positions. Descriptors stay
+    device-side (desc_w side channel; pulled lazily per keyframe)."""
+    return 3 + (1 if has_dist else 0) + (2 if has_stereo else 0)
 
 
 # Legacy constant for the widest layout (tests/tools); prefer packed_cols().
 PACKED_COLS = packed_cols(True, True)
+
+PT_FIX = 32.0  # wire fixed-point scale for pixel coords (1/32 px)
+
+
+def pack_pt_f32(pt):
+    """(N, 2) f32 pixels -> (N,) f32 words carrying 2 x i16 1/32-px."""
+    q = jnp.clip(jnp.round(pt * PT_FIX), -32767.0, 32767.0).astype(jnp.int32)
+    bits = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def unpack_pt_dev(word):
+    """Device inverse of pack_pt_f32: (N,) f32 words -> (N, 2) f32 pixels."""
+    bits = jax.lax.bitcast_convert_type(word, jnp.int32)
+    x = ((bits << 16) >> 16).astype(jnp.float32) / PT_FIX  # sign-extended
+    y = (bits >> 16).astype(jnp.float32) / PT_FIX
+    return jnp.stack([x, y], axis=-1)
+
+
+def unpack_pt_np(words):
+    """Host inverse of pack_pt_f32."""
+    import numpy as np
+
+    bits = np.ascontiguousarray(words, np.float32).view(np.int32)
+    x = ((bits << 16) >> 16).astype(np.float64) / PT_FIX
+    y = (bits >> 16).astype(np.float64) / PT_FIX
+    return np.stack([x, y], axis=-1)
 
 
 def undistort_points_jax(uv, intr, dist):
@@ -268,21 +301,27 @@ def _frame_program_body(
     # (desc_w in the window program / state in the per-frame one).
     N = state.pt.shape[0]
     tid_f = jax.lax.bitcast_convert_type(state.track_id, jnp.float32)
-    flags = (
+    flags_i = (
         use2.astype(jnp.int32)
         + 2 * res2["inliers"].astype(jnp.int32)
         + 4 * state.valid.astype(jnp.int32)
         + 8 * state.coverage.astype(jnp.int32)
-    ).astype(jnp.float32)
+    )
+    # meta word: age(0:12) | midx+1(12:25) | flags(25:29) — see packed_cols.
+    # 12 age bits cover the keyint=1000 track-lifetime regime; 13 midx bits
+    # cover SNAP_CAP=4096 (+1 for the no-match sentinel).
+    meta = (
+        jnp.clip(state.age, 0, 4095)
+        | ((jnp.maximum(midx, -1) + 1) << 12)
+        | (flags_i << 25)
+    )
     cols = [
-        state.pt,                      # 0:2 raw pixels
-        tid_f[:, None],                # 2 (i32 bits)
-        state.age.astype(jnp.float32)[:, None],  # 3
-        jnp.maximum(midx, -1).astype(jnp.float32)[:, None],  # 4
-        flags[:, None],                # 5
+        pack_pt_f32(state.pt)[:, None],  # 0: raw pixels (2 x i16, 1/32 px)
+        tid_f[:, None],                  # 1: track id (i32 bits)
+        jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None],  # 2
     ]
     if has_dist:
-        cols.append(pt_un)             # +2: undistorted (geometry)
+        cols.append(pack_pt_f32(pt_un)[:, None])  # +1: undistorted
     if has_stereo:
         cols.append(depth[:, None])    # +1: stereo depth (-1 = none)
         cols.append(ur[:, None])       # +1: right-image u (-1 = none)

@@ -123,7 +123,8 @@ def tracked_window_step(
                 has_vel(1)]: the pose chain's entry point (last frame's pose
                 plus the host's constant-velocity model if any).
     Returns dict(state, key, wire) where wire flattens, per frame-major:
-    W*(N*14) packed | W*16 scalars | W*P visibility.
+    W*N*packed_cols packed words | W*16 scalars | W*P/32 visibility bits
+    [| fused mapper section].
     """
     W = imgs.shape[0]
     N = prev_state.pt.shape[0]
@@ -229,14 +230,11 @@ def tracked_window_step(
         packed_w.reshape(-1),                       # W*N*packed_cols
         scalars_w.reshape(-1),                      # W*16
         visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
-        # LAST frame's descriptors ride the wire as f32-bitcast u32
-        # words: windows are KF-aligned (_collect_run ends them on the
-        # predicted keyframe), so the KF archive needs exactly this
-        # frame. All W frames' descriptors on the wire cost 524 KB of
-        # the scarce ~15-75 MB/s D2H link (over half the pull); a
-        # mid-window KF (schedule miss) pulls its row from the desc_w
-        # side channel instead — a rare extra RTT.
-        jax.lax.bitcast_convert_type(desc_w[-1], jnp.float32).reshape(-1),
+        # NO descriptors on the wire: the keyframe archive pulls its row
+        # LAZILY from the desc_w side channel (async D2H kicked off at the
+        # KF replay, materialized only if a consumer reads it) — all W
+        # frames' descriptors would cost 524 KB of the scarce ~10-30 MB/s
+        # D2H link, and even one frame's 32 KB is ~15% of the pull.
     ]
     if mwire is not None:
         parts.append(mwire)  # fused mapper result (trailing section)
