@@ -117,16 +117,16 @@ class Frame:
     @staticmethod
     def from_packed(packed, timestamp=0.0, image=None, fid=None,
                     has_dist=False, stereo=False):
-        """Build from the fused frame program's bit-packed export (layout
-        per ops/frame_step.packed_cols: pt word | tid bits | meta word
-        [pt_un word if has_dist] [depth ur if stereo]). Descriptors stay
-        device-side (desc_w channel); Frame.desc is None here and is
-        attached lazily when the frame becomes a keyframe."""
+        """Build from the fused frame program's bit-packed INT32 export
+        (layout per ops/frame_step.packed_cols: pt word | tid | meta word
+        [pt_un word if has_dist] [depth ur f32-bits if stereo]).
+        Descriptors stay device-side (desc_w channel); Frame.desc is None
+        here and is attached lazily when the frame becomes a keyframe."""
         from ..ops.frame_step import unpack_pt_np
 
         f = Frame(None, timestamp=timestamp, image=image, fid=fid)
-        words = np.ascontiguousarray(packed, np.float32)
-        meta = words[:, 2].view(np.int32).astype(np.int64)
+        words = np.ascontiguousarray(packed, np.int32)
+        meta = words[:, 2].astype(np.int64)
         flags = (meta >> 25) & 0xF
         valid = (flags & 4) != 0
         rows = np.flatnonzero(valid)
@@ -140,9 +140,13 @@ class Frame:
         else:
             f.pts = f.pts_raw
         if stereo:
-            f.depth_right = sel[:, c].astype(np.float64)
-            f.uright = sel[:, c + 1].astype(np.float64)
-        f.track_ids = sel[:, 1].view(np.int32).astype(np.int64)
+            f.depth_right = np.ascontiguousarray(sel[:, c]).view(
+                np.float32
+            ).astype(np.float64)
+            f.uright = np.ascontiguousarray(sel[:, c + 1]).view(
+                np.float32
+            ).astype(np.float64)
+        f.track_ids = sel[:, 1].astype(np.int64)
         f.ages = (meta & 0xFFF).astype(np.int32)
         f.desc = None
         f.cap_rows = rows

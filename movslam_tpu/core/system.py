@@ -314,9 +314,10 @@ class System:
             packed, timestamp=timestamp, image=smv.im_gray,
             fid=self.image_count, has_dist=self._has_dist,
         )
+        pose = np.ascontiguousarray(scal[0:12]).view(np.float32)
         host_out = {
-            "R": scal[0:9].reshape(3, 3).astype(np.float64),
-            "t": scal[9:12].astype(np.float64),
+            "R": pose[0:9].reshape(3, 3).astype(np.float64),
+            "t": pose[9:12].astype(np.float64),
             "n_ref_inliers": int(scal[12]),
             "n_inliers": int(scal[13]),
             "ok": scal[14] > 0,
@@ -817,7 +818,7 @@ class System:
                 sz["C"] * 3 + sz["K"] * 12 + sz["P"] * 3 + sz["O"] * 2
             )
             X, out_kf, out_mp, out_obs = split_mapper_wire(
-                wire_np[-mlen:],
+                np.ascontiguousarray(wire_np[-mlen:]).view(np.float32),
                 C=sz["C"], K=sz["K"], P=sz["P"], O=sz["O"],
             )
             self.mapper.commit_fused(fused_job, X, out_kf, out_mp, out_obs)
@@ -879,9 +880,10 @@ class System:
             )
             if prof is not None:
                 prof["rep_from_packed"] += _t() - t1
+            pose = np.ascontiguousarray(scal[0:12]).view(np.float32)
             host_out = {
-                "R": scal[0:9].reshape(3, 3).astype(np.float64),
-                "t": scal[9:12].astype(np.float64),
+                "R": pose[0:9].reshape(3, 3).astype(np.float64),
+                "t": pose[9:12].astype(np.float64),
                 "n_ref_inliers": int(scal[12]),
                 "n_inliers": int(scal[13]),
                 "ok": scal[14] > 0,
@@ -991,9 +993,7 @@ class System:
             # Rewind the device track state to the last consumed frame —
             # rebuilt ON DEVICE from the packed/desc side channels.
             k = consumed - 1
-            next_id = int(
-                np.ascontiguousarray(scal_w[k, 15:16]).view(np.int32)[0]
-            )
+            next_id = int(scal_w[k, 15])  # i32 wire: the counter is direct
             self._prev_state = TrackState.rebuild(
                 out["packed_w"][k], out["desc_w"][k], next_id
             )

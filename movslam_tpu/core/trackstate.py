@@ -93,10 +93,10 @@ class TrackState:
 def _rebuild_state(packed, desc, next_id):
     from ..ops.frame_step import unpack_pt_dev
 
-    meta = jax.lax.bitcast_convert_type(packed[:, 2], jnp.int32)
+    meta = packed[:, 2]
     flags = (meta >> 25) & 0xF
     valid = (flags & 4) != 0
-    tid = jax.lax.bitcast_convert_type(packed[:, 1], jnp.int32)
+    tid = packed[:, 1]
     N = packed.shape[0]
     return TrackState(
         pt=unpack_pt_dev(packed[:, 0]),

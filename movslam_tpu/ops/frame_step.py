@@ -33,17 +33,20 @@ N_SCALARS = 16
 
 
 def packed_cols(has_dist=False, has_stereo=False):
-    """Per-slot export width in f32 WORDS (stage 5), bit-packed:
+    """Per-slot export width in INT32 words (stage 5), bit-packed:
       word 0: pt as 2 x i16 in 1/32-px fixed point (raw pixels)
-      word 1: track id (i32 bits)
+      word 1: track id
       word 2: meta = age(12b) | midx+1(13b) | flags(4b)
       [+1 word pt_un (2 x i16, 1/32 px) for distorted cameras]
-      [+2 words depth (f32), ur (f32) for stereo]
+      [+2 words depth, ur as f32 BIT PATTERNS for stereo]
     D2H bandwidth through a remote TPU is the scarce resource (~10-30 MB/s
     effective on the tunneled link); 1/32-px keypoint quantization is ~10x
     below the MV track noise floor and only exists on the wire — the
     device-resident TrackState keeps full f32 positions. Descriptors stay
-    device-side (desc_w side channel; pulled lazily per keyframe)."""
+    device-side (desc_w side channel; pulled lazily per keyframe). The wire
+    dtype is int32, NOT float: integer payloads in f32 lanes are denormals
+    the TPU VPU flushes to zero whenever fusion routes them through vector
+    registers."""
     return 3 + (1 if has_dist else 0) + (2 if has_stereo else 0)
 
 
@@ -53,26 +56,24 @@ PACKED_COLS = packed_cols(True, True)
 PT_FIX = 32.0  # wire fixed-point scale for pixel coords (1/32 px)
 
 
-def pack_pt_f32(pt):
-    """(N, 2) f32 pixels -> (N,) f32 words carrying 2 x i16 1/32-px."""
+def pack_pt_i32(pt):
+    """(N, 2) f32 pixels -> (N,) i32 words carrying 2 x i16 1/32-px."""
     q = jnp.clip(jnp.round(pt * PT_FIX), -32767.0, 32767.0).astype(jnp.int32)
-    bits = (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
-    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return (q[:, 0] & 0xFFFF) | (q[:, 1] << 16)
 
 
-def unpack_pt_dev(word):
-    """Device inverse of pack_pt_f32: (N,) f32 words -> (N, 2) f32 pixels."""
-    bits = jax.lax.bitcast_convert_type(word, jnp.int32)
+def unpack_pt_dev(bits):
+    """Device inverse of pack_pt_i32: (N,) i32 words -> (N, 2) f32 pixels."""
     x = ((bits << 16) >> 16).astype(jnp.float32) / PT_FIX  # sign-extended
     y = (bits >> 16).astype(jnp.float32) / PT_FIX
     return jnp.stack([x, y], axis=-1)
 
 
-def unpack_pt_np(words):
-    """Host inverse of pack_pt_f32."""
+def unpack_pt_np(bits):
+    """Host inverse of pack_pt_i32 ((N,) i32 -> (N, 2) f64 pixels)."""
     import numpy as np
 
-    bits = np.ascontiguousarray(words, np.float32).view(np.int32)
+    bits = np.asarray(bits, np.int32)
     x = ((bits << 16) >> 16).astype(np.float64) / PT_FIX
     y = (bits >> 16).astype(np.float64) / PT_FIX
     return np.stack([x, y], axis=-1)
@@ -300,7 +301,6 @@ def _frame_program_body(
     # active configuration (packed_cols); descriptors stay device-resident
     # (desc_w in the window program / state in the per-frame one).
     N = state.pt.shape[0]
-    tid_f = jax.lax.bitcast_convert_type(state.track_id, jnp.float32)
     flags_i = (
         use2.astype(jnp.int32)
         + 2 * res2["inliers"].astype(jnp.int32)
@@ -315,29 +315,40 @@ def _frame_program_body(
         | ((jnp.maximum(midx, -1) + 1) << 12)
         | (flags_i << 25)
     )
+    # The packed export is INT32, never float: integer values carried as
+    # f32 bit patterns are denormals the TPU VPU silently flushes to zero
+    # whenever XLA happens to fuse the export concat with compute
+    # (measured: every track id on the wire read back 0 — fusion-dependent,
+    # so it can appear with any layout change). Float payloads ride as
+    # bitcast i32 instead; integer lanes are immune to FTZ.
     cols = [
-        pack_pt_f32(state.pt)[:, None],  # 0: raw pixels (2 x i16, 1/32 px)
-        tid_f[:, None],                  # 1: track id (i32 bits)
-        jax.lax.bitcast_convert_type(meta, jnp.float32)[:, None],  # 2
+        pack_pt_i32(state.pt)[:, None],  # 0: raw pixels (2 x i16, 1/32 px)
+        state.track_id[:, None],         # 1: track id
+        meta[:, None],                   # 2
     ]
     if has_dist:
-        cols.append(pack_pt_f32(pt_un)[:, None])  # +1: undistorted
+        cols.append(pack_pt_i32(pt_un)[:, None])  # +1: undistorted
     if has_stereo:
-        cols.append(depth[:, None])    # +1: stereo depth (-1 = none)
-        cols.append(ur[:, None])       # +1: right-image u (-1 = none)
-    packed = jnp.concatenate(cols, axis=1)  # (N, packed_cols(...))
+        cols.append(
+            jax.lax.bitcast_convert_type(depth, jnp.int32)[:, None]
+        )  # +1: stereo depth f32 bits (-1 = none)
+        cols.append(
+            jax.lax.bitcast_convert_type(ur, jnp.int32)[:, None]
+        )  # +1: right-image u f32 bits (-1 = none)
+    packed = jnp.concatenate(cols, axis=1)  # (N, packed_cols(...)) i32
 
-    next_id_f = jax.lax.bitcast_convert_type(state.next_id, jnp.float32)
     scalars = jnp.concatenate(
         [
-            res2["R"].reshape(-1),         # 0:9
-            res2["t"],                     # 9:12
+            jax.lax.bitcast_convert_type(
+                jnp.concatenate([res2["R"].reshape(-1), res2["t"]]),
+                jnp.int32,
+            ),                             # 0:12 pose f32 bits
             jnp.stack(
                 [
-                    n_ref.astype(jnp.float32),
-                    res2["n_inliers"].astype(jnp.float32),
-                    res2["ok"].astype(jnp.float32),
-                    next_id_f,             # 15 (i32 bits): extractor counter
+                    n_ref.astype(jnp.int32),
+                    res2["n_inliers"].astype(jnp.int32),
+                    res2["ok"].astype(jnp.int32),
+                    state.next_id,         # 15: extractor counter
                 ]
             ),                             # 12:16
         ]
@@ -402,11 +413,12 @@ def tracked_frame_step(
         max_cov=max_cov, has_dist=has_dist, has_stereo=has_stereo,
     )
 
-    # ONE pull: everything the host needs in a single flat buffer
+    # ONE pull: everything the host needs in a single flat INT32 buffer
     # (device_get is one RPC per pytree leaf on remote TPUs; visibility is
-    # bit-packed — D2H bandwidth is the scarce resource).
+    # bit-packed — D2H bandwidth is the scarce resource; int32 because the
+    # TPU VPU flushes denormal f32 bit patterns to zero when fused).
     wire = jnp.concatenate(
-        [packed.reshape(-1), scalars, pack_bits_f32(snap_visible)]
+        [packed.reshape(-1), scalars, pack_bits_i32(snap_visible)]
     )
     return {
         "state": state,  # stays device-resident for the next frame
@@ -418,19 +430,21 @@ def tracked_frame_step(
     }
 
 
-def pack_bits_f32(b):
-    """(P,) bool -> (P/32,) f32 carrying the u32 bitmask (P % 32 == 0)."""
+def pack_bits_i32(b):
+    """(P,) bool -> (P/32,) i32 carrying the u32 bitmask (P % 32 == 0)."""
     P = b.shape[0]
     w = b.reshape(P // 32, 32).astype(jnp.uint32) << jnp.arange(
         32, dtype=jnp.uint32
     )[None, :]
-    return jax.lax.bitcast_convert_type(jnp.sum(w, axis=1, dtype=jnp.uint32), jnp.float32)
+    return jax.lax.bitcast_convert_type(
+        jnp.sum(w, axis=1, dtype=jnp.uint32), jnp.int32
+    )
 
 
-def unpack_bits_np(f32_words, n):
-    """Host inverse of pack_bits_f32: (P/32,) f32 -> (n,) bool."""
+def unpack_bits_np(i32_words, n):
+    """Host inverse of pack_bits_i32: (P/32,) i32 -> (n,) bool."""
     import numpy as np
 
-    u = np.ascontiguousarray(f32_words, np.float32).view(np.uint32)
+    u = np.ascontiguousarray(i32_words, np.int32).view(np.uint32)
     bits = (u[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
     return bits.reshape(-1)[:n].astype(bool)

@@ -204,9 +204,9 @@ def tracked_window_step(
             new_state, img, k, R_cur, t_cur, v_R_new, v_t_new,
             jnp.asarray(True),
         )
-        from .frame_step import pack_bits_f32
+        from .frame_step import pack_bits_i32
 
-        ys = (packed, scalars, pack_bits_f32(snap_visible), new_state.desc)
+        ys = (packed, scalars, pack_bits_i32(snap_visible), new_state.desc)
         return carry_out, ys
 
     carry0 = (prev_state, prev_img, key, last_R, last_t, vel_R, vel_t, has_vel)
@@ -226,9 +226,13 @@ def tracked_window_step(
         ]
     )
 
+    # The wire is INT32 end to end (float payloads as bitcast bits): f32
+    # lanes carrying integer bit patterns are denormals the TPU VPU flushes
+    # to zero whenever fusion routes the export through vector registers
+    # (see ops/frame_step.packed_cols).
     parts = [
-        packed_w.reshape(-1),                       # W*N*packed_cols
-        scalars_w.reshape(-1),                      # W*16
+        packed_w.reshape(-1),                       # W*N*packed_cols (i32)
+        scalars_w.reshape(-1),                      # W*16 (i32; pose bits)
         visbits_w.reshape(-1),                      # W*P/32 (u32 bits)
         # NO descriptors on the wire: the keyframe archive pulls its row
         # LAZILY from the desc_w side channel (async D2H kicked off at the
@@ -237,7 +241,8 @@ def tracked_window_step(
         # D2H link, and even one frame's 32 KB is ~15% of the pull.
     ]
     if mwire is not None:
-        parts.append(mwire)  # fused mapper result (trailing section)
+        # Fused mapper result (f32) rides as bit patterns.
+        parts.append(jax.lax.bitcast_convert_type(mwire, jnp.int32))
     wire = jnp.concatenate(parts)
     return {
         "state": state_out,
