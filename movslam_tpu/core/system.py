@@ -917,22 +917,19 @@ class System:
             # against a fresh snapshot) when the margin is thin.
             if tr.last_kf_frame_id == frame.id:
                 # Descriptors: archive LAZILY from the device-resident
-                # desc_w side channel — an async D2H copy kicked off now,
-                # materialized only if a consumer (checkpoint save) reads
-                # them. Keeping all descriptors off the result wire saves
-                # 32 KB/window (~15% of the pull) on the scarce D2H link;
-                # a blocking pull here measured ~100 ms on the tunnel.
+                # desc_w side channel, materialized only if a consumer
+                # (checkpoint save) reads them. Keeping descriptors off the
+                # result wire saves 32 KB/window (~15% of the pull) on the
+                # scarce D2H link. Even the SLICE desc_w[k] is deferred
+                # into the thunk: eager slicing is a device dispatch that
+                # measured 2.8 ms/frame of replay-critical-path RTT on the
+                # tunnel.
                 t2 = _t()
                 kf = tr.last_kf
                 if kf is not None and len(frame.cap_rows):
-                    dk_dev = out["desc_w"][k]
-                    try:
-                        dk_dev.copy_to_host_async()
-                    except AttributeError:
-                        pass
-                    rows = frame.cap_rows
+                    dw, rows = out["desc_w"], frame.cap_rows
                     kf.set_desc_thunk(
-                        lambda d=dk_dev, r=rows: np.asarray(d)[r]
+                        lambda d=dw, i=k, r=rows: np.asarray(d[i])[r]
                     )
                 if prof is not None:
                     prof["rep_kf_desc"] += _t() - t2
